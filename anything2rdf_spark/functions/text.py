@@ -1,0 +1,134 @@
+"""Text scalar kernel (SURVEY §2.4 F1-F11, F21-F27).
+
+Native Column expressions wherever possible; the two genuinely
+Python-requiring pieces (Unicode NFC, dictionary mention scan) are
+Arrow-vectorized pandas UDFs operating on whole batches — never per-row
+Python UDFs (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def wordcount(text: Column | str) -> Column:
+    """Count of whitespace runs — the reference counts *separators*
+    (``"\\s+".r.findAllIn(t).length``, OBCXML2RDF.scala:210), i.e. tokens-1;
+    must match exactly for P/R. Null text → null."""
+    t = _c(text)
+    return (F.size(F.split(t, r"\s+")) - F.lit(1)).cast("int")
+
+
+def multi_value_split(col: Column | str, sep_regex: str = r"[,;\n|]") -> Column:
+    """Split a multi-valued field, trim, drop empties — the reference's
+    pervasive ``split(...).map(_.trim).filter(!_.isEmpty)``
+    (EMLOCSV2RDF.scala:200,318,398-399; FBTEETSV2RDF.scala:328-334).
+    Returns array<string>; pair with ``F.explode``."""
+    return F.filter(
+        F.transform(F.split(_c(col), sep_regex), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def punct_trim(col: Column | str) -> Column:
+    """Strip non-alphanumeric prefix/suffix (HelmetMARC2ISBNRDF.scala:57-63)."""
+    return F.regexp_extract(_c(col), r"^[^\p{L}\p{N}]*(.*?)[^\p{L}\p{N}]*$", 1)
+
+
+def strip_wiki_markup(col: Column | str) -> Column:
+    """Unwrap ``[[target|label]]`` / ``[[target]]`` wiki links and drop bold
+    quotes (ttpxml2rdf.scala:30-32)."""
+    out = F.regexp_replace(_c(col), r"\[\[[^\]|]*\|([^\]]*)\]\]", r"$1")
+    out = F.regexp_replace(out, r"\[\[([^\]]*)\]\]", r"$1")
+    return F.regexp_replace(out, "'''?", "")
+
+
+def expand_abbreviations(col: Column | str, abbrevs: dict[str, str]) -> Column:
+    """Fold a regex dictionary over text — mention normalization
+    (grandtourcsv2rdf.scala:45-46, 91-93: ``\\bABBR(?=\\s|$)`` → expansion).
+    Generated as a chain of native ``regexp_replace`` (JVM-side), one per
+    dictionary entry — fine for small dictionaries; use
+    ``mention_scan_udf`` for large ones."""
+    out = _c(col)
+    for abbr, expansion in abbrevs.items():
+        out = F.regexp_replace(out, rf"\b{re.escape(abbr)}(?=\s|$)", expansion)
+    return out
+
+
+def zero_pad_id(col: Column | str, width: int = 8) -> Column:
+    """Pad an id to fixed width (SDFBCSV2RDF.scala:251)."""
+    return F.lpad(_c(col).cast("string"), width, "0")
+
+
+def extract_embedded_ids(col: Column | str) -> Column:
+    """All ``(1234)``-style ids embedded in a list string
+    (SDFBCSV2RDF.scala:249). Returns array<string>."""
+    return F.regexp_extract_all(_c(col), F.lit(r"\((\d+)\)"), 1)
+
+
+def yn_bool(col: Column | str) -> Column:
+    """Y/N → boolean literal (ceectsv2rdf.scala:176-177); other → null."""
+    c = _c(col)
+    return F.when(c == "Y", F.lit(True)).when(c == "N", F.lit(False)).otherwise(
+        F.lit(None).cast("boolean")
+    )
+
+
+GENDER_MAP = {"M": "male", "F": "female", "m": "male", "f": "female"}
+
+
+def gender_label(col: Column | str) -> Column:
+    """M/F code → label (FBTEETSV2RDF.scala:163; OBCXML2RDF.scala:195)."""
+    c = _c(col)
+    return F.when(F.lower(c) == "m", "male").when(F.lower(c) == "f", "female").otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (HelmetMARC2ISBNRDF.scala:46-50) — Arrow
+    batch; pandas ``.map`` over a batch, not a per-row Spark UDF."""
+    return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+
+def norm_surface(col: Column | str) -> Column:
+    """Normalization applied to both dictionary labels and detected mentions
+    before linking: NFC + lowercase + punctuation trim + whitespace squash
+    (HelmetMARC2ISBNRDF.scala:46-63 composition)."""
+    return F.lower(F.trim(F.regexp_replace(punct_trim(nfc_normalize(_c(col))), r"\s+", " ")))
+
+
+def mention_scan_udf(surfaces: list[str]):
+    """Build an Arrow-vectorized mention scanner for a fixed surface-form
+    dictionary (the engine's turn-level extractor, SURVEY §2.12 ext-point 1;
+    semantics: word-boundary, case-insensitive, longest-match-first — the
+    analog of andcsv2rdf.scala:43-47 name mentions + grandtour regex
+    dictionary F9).
+
+    Returns a pandas UDF text → array<string> of matched surface forms
+    (original dictionary casing). One compiled alternation regex per
+    executor; ``pd.Series.str.findall`` runs the scan in C.
+    """
+    ordered = sorted(set(surfaces), key=len, reverse=True)
+    pattern = re.compile(
+        r"\b(" + "|".join(re.escape(s) for s in ordered) + r")\b", re.IGNORECASE
+    )
+    canon = {s.lower(): s for s in ordered}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def scan(texts: pd.Series) -> pd.Series:
+        found = texts.fillna("").str.findall(pattern)
+        return found.map(lambda ms: [canon[m.lower()] for m in ms])
+
+    return scan
