@@ -1,0 +1,215 @@
+"""Stage 2: per-turn triple extraction (SURVEY §2.5, §3.1).
+
+The Spark re-expression of the OBC transcript converter
+(OBCXML2RDF.scala:169-215): admission filter → entity minting → typed/tagged
+literal emission → code-table links → mention detection — emitted as ONE
+narrow ``select`` + ``explode`` over the transcripts scan (no shuffle until
+the stage-final ``dropDuplicates``, which realizes the Jena model's set
+semantics, Anything2RDF.scala:126-144 / SURVEY A6).
+
+Rule model: each emission rule is a nullable struct inside one array column;
+``explode`` + null-filter turns a turn-row into 5-10 triple rows. All guards
+are native ``when`` expressions (ANE semantics, Anything2RDF.scala:101-107).
+Mention detection is the only Python: an Arrow-batched regex scan
+(functions.text.mention_scan_udf) — zero per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import (
+    NS,
+    RDF_TYPE,
+    SCHEMA_NS,
+    SKOS_PREF_LABEL,
+    XSD_DATETIME,
+    XSD_INTEGER,
+)
+from .. import iri
+from ..functions import text as TX
+from ..schemas import TRIPLE_COLS
+
+# Engine ontology (the analog of the reference's per-converter EC/EOP/EDP
+# declarations, Anything2RDF.scala:109-123).
+C_TURN = SCHEMA_NS + "Turn"
+C_CONVERSATION = SCHEMA_NS + "Conversation"
+C_SPEAKER = SCHEMA_NS + "Speaker"
+C_ROLE = SCHEMA_NS + "Role"
+C_TOOL = SCHEMA_NS + "Tool"
+P_PART_OF = SCHEMA_NS + "partOfConversation"
+P_TURN_INDEX = SCHEMA_NS + "turnIndex"
+P_FULLTEXT = SCHEMA_NS + "fulltext"
+P_WORDCOUNT = SCHEMA_NS + "wordCount"
+P_HAS_SPEAKER = SCHEMA_NS + "hasSpeaker"
+P_ROLE = SCHEMA_NS + "hasRole"
+P_USED_TOOL = SCHEMA_NS + "usedTool"
+P_AT_TIME = SCHEMA_NS + "atTime"
+P_MENTIONS_SURFACE = SCHEMA_NS + "mentionsSurface"
+P_MENTIONS = SCHEMA_NS + "mentions"
+P_NEXT_TURN = SCHEMA_NS + "nextTurn"
+
+
+def _null_struct():
+    return F.lit(None).cast(
+        "struct<subj:string,pred:string,obj_iri:string,obj_lit:string,obj_lang:string,obj_dtype:string>"
+    )
+
+
+def _t(subj, pred: str, obj_iri=None, obj_lit=None, lang=None, dtype=None, guard=None):
+    """One emission rule → nullable triple struct."""
+    null_s = F.lit(None).cast("string")
+    s = F.struct(
+        subj.alias("subj"),
+        F.lit(pred).alias("pred"),
+        (obj_iri if obj_iri is not None else null_s).alias("obj_iri"),
+        (obj_lit.cast("string") if obj_lit is not None else null_s).alias("obj_lit"),
+        (
+            F.lit(lang)
+            if isinstance(lang, str)
+            else (lang if lang is not None else null_s)
+        ).alias("obj_lang"),
+        (F.lit(dtype) if dtype is not None else null_s).alias("obj_dtype"),
+    )
+    if guard is not None:
+        return F.when(guard, s).otherwise(_null_struct())
+    return s
+
+
+def admissible(df: DataFrame) -> DataFrame:
+    """Row admission predicate (P3) — the analog of skipping speeches without
+    speaker-id/year (OBCXML2RDF.scala:179): a turn needs a role and a text.
+    Inadmissible rows go to the quarantine table, not to /dev/null."""
+    return df.filter(F.col("role").isNotNull() & F.col("text").isNotNull())
+
+
+def quarantined(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("role").isNull() | F.col("text").isNull())
+
+
+def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces: list[str] | None = None) -> DataFrame:
+    """Transcripts → candidate triples (pre-linking).
+
+    Emits per admissible turn (OBC semantics, OBCXML2RDF.scala:179-213):
+    rdf:type, partOfConversation, turnIndex (xsd:integer), fulltext (ANE
+    guard: only non-blank, Anything2RDF.scala:101-103), wordCount
+    (separator-count semantics, OBCXML2RDF.scala:210), hasSpeaker +
+    speaker rdf:type + hasRole code link, usedTool (ANE guard on nullable
+    tool), atTime (xsd:dateTime), conversation rdf:type, and — when a
+    dictionary is supplied — mentionsSurface triples from the Arrow-batched
+    scan (andcsv2rdf.scala:43-47 analog).
+    """
+    t = iri.turn_iri()
+    c = iri.conv_iri()
+    sp = iri.speaker_iri()
+    nonblank = F.trim(F.col("text")) != ""
+    role_iri = iri.mint("role", "role", ns=ns)
+    tool_iri = iri.mint("tool", "tool", ns=ns)
+
+    rules = [
+        _t(t, RDF_TYPE, obj_iri=F.lit(C_TURN)),
+        _t(t, P_PART_OF, obj_iri=c),
+        _t(t, P_TURN_INDEX, obj_lit=F.col("turn_idx"), dtype=XSD_INTEGER),
+        _t(t, P_FULLTEXT, obj_lit=F.col("text"), guard=nonblank),
+        _t(t, P_WORDCOUNT, obj_lit=TX.wordcount("text"), dtype=XSD_INTEGER, guard=nonblank),
+        _t(t, P_HAS_SPEAKER, obj_iri=sp),
+        _t(sp, RDF_TYPE, obj_iri=F.lit(C_SPEAKER)),
+        _t(sp, P_ROLE, obj_iri=role_iri),
+        _t(role_iri, RDF_TYPE, obj_iri=F.lit(C_ROLE)),
+        _t(t, P_USED_TOOL, obj_iri=tool_iri, guard=F.col("tool").isNotNull() & (F.trim(F.col("tool")) != "")),
+        _t(
+            t,
+            P_AT_TIME,
+            obj_lit=F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            dtype=XSD_DATETIME,
+            guard=F.col("ts").isNotNull(),
+        ),
+        _t(c, RDF_TYPE, obj_iri=F.lit(C_CONVERSATION)),
+    ]
+
+    adm = admissible(transcripts)
+    base = (
+        adm.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.array(*rules)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .select("r.*", "conv_id", "turn_idx")
+        .select(*TRIPLE_COLS)
+    )
+
+    if dictionary_surfaces:
+        scan = TX.mention_scan_udf(dictionary_surfaces)
+        mention_triples = (
+            adm.select("conv_id", "turn_idx", F.explode(scan(F.col("text"))).alias("surface"))
+            .select(
+                iri.turn_iri().alias("subj"),
+                F.lit(P_MENTIONS_SURFACE).alias("pred"),
+                F.lit(None).cast("string").alias("obj_iri"),
+                F.col("surface").alias("obj_lit"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_dtype"),
+                "conv_id",
+                "turn_idx",
+            )
+        )
+        base = base.unionByName(mention_triples)
+    return base
+
+
+def extract_mentions(transcripts: DataFrame, dictionary_surfaces: list[str]) -> DataFrame:
+    """Transcripts → mention rows (conv_id, turn_idx, surface, norm_surface)
+    for the linking stage — the turn-level extractor extension point
+    (SURVEY §2.12)."""
+    scan = TX.mention_scan_udf(dictionary_surfaces)
+    return (
+        admissible(transcripts)
+        .select("conv_id", "turn_idx", F.explode(scan(F.col("text"))).alias("surface"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "surface",
+            TX.norm_surface("surface").alias("norm_surface"),
+        )
+    )
+
+
+def code_table_triples(code_tables: DataFrame, ns: str = NS) -> DataFrame:
+    """E3: code-table dimension → entity triples (rdf:type + skos:prefLabel
+    per code; OBCXML2RDF.scala:36-136 code maps as data)."""
+    code_iri = iri.mint("code", "table", "code", ns=ns)
+    kls = F.concat(F.lit(SCHEMA_NS), iri.camel_case("table"))
+    rules = [
+        _t(code_iri, RDF_TYPE, obj_iri=kls),
+        _t(code_iri, SKOS_PREF_LABEL, obj_lit=F.col("label"), lang=F.col("lang"), guard=F.trim("label") != ""),
+    ]
+    out = (
+        code_tables.select(F.explode(F.array(*rules)).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select(
+            "r.*",
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+    )
+    # carry the label language tag (E5)
+    return out.select(*TRIPLE_COLS)
+
+
+def dedup_triples(df: DataFrame) -> DataFrame:
+    """A6: Jena-model set semantics — a re-added statement is a no-op
+    (Anything2RDF.scala:126-144). Provenance keeps the minimum
+    (conv_id, turn_idx) so dedup output is deterministic."""
+    return (
+        df.groupBy("subj", "pred", "obj_iri", "obj_lit", "obj_lang", "obj_dtype")
+        .agg(
+            F.min(F.struct("conv_id", "turn_idx")).alias("_prov"),
+        )
+        .select(
+            "subj", "pred", "obj_iri", "obj_lit", "obj_lang", "obj_dtype",
+            F.col("_prov.conv_id").alias("conv_id"),
+            F.col("_prov.turn_idx").alias("turn_idx"),
+        )
+    )
