@@ -1,0 +1,159 @@
+"""Qualified-edge reification (SURVEY §2.10 G3) and relationship conversion
+(FBTEETSV2RDF.scala:538-545; SDFBCSV2RDF.scala:231-237, 355-367;
+EMLOCSV2RDF.scala:546-550).
+
+A qualified edge (left —rel→ right with confidence / time-span qualifiers)
+becomes: the plain edge triple + an ``rdf:Statement`` resource carrying
+subject/predicate/object plus qualifier triples. The statement IRI is a hash
+of (s, p, o) — the deterministic replacement for the reference's blank nodes
+(FBTEETSV2RDF.scala:538 ``BN()``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import (
+    NS,
+    RDF_OBJECT,
+    RDF_PREDICATE,
+    RDF_STATEMENT,
+    RDF_SUBJECT,
+    RDF_TYPE,
+    SCHEMA_NS,
+    XSD_DATETIME,
+    XSD_INTEGER,
+)
+from .. import iri
+from ..functions import dates as DT
+from ..schemas import TRIPLE_COLS
+from .extract import _t
+
+P_CONFIDENCE = SCHEMA_NS + "confidence"
+P_CERTAINTY = SCHEMA_NS + "descriptiveCertainty"
+P_TIMESPAN = SCHEMA_NS + "hasTimeSpan"
+P_BOB = SCHEMA_NS + "beginOfTheBegin"
+P_EOB = SCHEMA_NS + "endOfTheBegin"
+P_BOE = SCHEMA_NS + "beginOfTheEnd"
+P_EOE = SCHEMA_NS + "endOfTheEnd"
+C_TIMESPAN = SCHEMA_NS + "TimeSpan"
+
+
+def relationship_triples(
+    rels: DataFrame,
+    dictionary: DataFrame | None = None,
+    ns: str = NS,
+) -> tuple[DataFrame, DataFrame]:
+    """Relationships → (triples, quarantine).
+
+    When a dictionary is given, FKs are validated; rows whose left_id misses
+    the dictionary are quarantined, not dropped silently (J8 anti-join guard,
+    EMLOCSV2RDF.scala:527,539-545).
+
+    Emits per valid row: the plain edge, the reified statement (type/
+    subject/predicate/object), confidence (xsd:integer) + descriptive
+    certainty bucket (SDFBCSV2RDF.scala:169-174,353-366), and a 4-point
+    time-span from the qualifier semantics (SDFBCSV2RDF.scala:53-78).
+    """
+    if dictionary is not None:
+        dict_ids = F.broadcast(dictionary.select(F.col("entity_id").alias("left_id")))
+        valid = rels.join(dict_ids, "left_id", "left_semi")
+        quarantine = rels.join(dict_ids, "left_id", "left_anti")
+    else:
+        valid = rels
+        quarantine = rels.limit(0)
+
+    s = iri.mint("entity", "left_id", ns=ns)
+    o = iri.mint("entity", "right_id", ns=ns)
+    p = iri.schema_prop_iri("rel_type")
+    stmt = iri.mint_hashed("stmt", s, p, o, ns=ns)
+
+    start = DT.qualifier_bounds("qualifier", "start_year")
+    end = DT.qualifier_bounds("qualifier", "end_year", end=True)
+    bob, eob = start["bob"], start["eob"]
+    boe, eoe = end["boe"], end["eoe"]
+    ts_iri = DT.time_span_iri(bob, eob, boe, eoe, ns)
+    has_span = bob.isNotNull() | eob.isNotNull() | boe.isNotNull() | eoe.isNotNull()
+
+    rules = [
+        _t(stmt, RDF_TYPE, obj_iri=F.lit(RDF_STATEMENT)),
+        _t(stmt, RDF_SUBJECT, obj_iri=s),
+        _t(stmt, RDF_OBJECT, obj_iri=o),
+        _t(
+            stmt,
+            P_CONFIDENCE,
+            obj_lit=F.col("confidence"),
+            dtype=XSD_INTEGER,
+            guard=F.col("confidence").isNotNull(),
+        ),
+        _t(
+            stmt,
+            P_CERTAINTY,
+            obj_lit=DT.certainty_bucket("confidence"),
+            guard=F.col("confidence").isNotNull() & DT.certainty_bucket("confidence").isNotNull(),
+        ),
+        _t(stmt, P_TIMESPAN, obj_iri=ts_iri, guard=has_span),
+        _t(ts_iri, RDF_TYPE, obj_iri=F.lit(C_TIMESPAN), guard=has_span),
+        _t(ts_iri, P_BOB, obj_lit=bob, dtype=XSD_DATETIME, guard=bob.isNotNull()),
+        _t(ts_iri, P_EOB, obj_lit=eob, dtype=XSD_DATETIME, guard=eob.isNotNull()),
+        _t(ts_iri, P_BOE, obj_lit=boe, dtype=XSD_DATETIME, guard=boe.isNotNull()),
+        _t(ts_iri, P_EOE, obj_lit=eoe, dtype=XSD_DATETIME, guard=eoe.isNotNull()),
+    ]
+    # the plain edge + rdf:predicate need the *dynamic* predicate IRI (a
+    # column), which _t's static pred can't carry → emit those two directly.
+    dyn = valid.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    s.alias("subj"), p.alias("pred"), o.alias("obj_iri"),
+                    F.lit(None).cast("string").alias("obj_lit"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(None).cast("string").alias("obj_dtype"),
+                ),
+                F.struct(
+                    stmt.alias("subj"), F.lit(RDF_PREDICATE).alias("pred"), p.alias("obj_iri"),
+                    F.lit(None).cast("string").alias("obj_lit"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(None).cast("string").alias("obj_dtype"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    stat = (
+        valid.select(F.explode(F.array(*rules)).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.*")
+    )
+    out = dyn.unionByName(stat).select(
+        "subj", "pred", "obj_iri", "obj_lit", "obj_lang", "obj_dtype",
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+    )
+    return out.select(*TRIPLE_COLS), quarantine
+
+
+def inverse_property_triples(pairs: DataFrame, ns: str = NS) -> DataFrame:
+    """E7: mint property + inverse with owl:inverseOf both ways
+    (EMLOCSV2RDF.scala:440-446). Input: (prop_label, inverse_label)."""
+    from .. import OWL_INVERSEOF
+
+    p1 = iri.schema_prop_iri("prop_label")
+    p2 = iri.schema_prop_iri("inverse_label")
+    fwd = pairs.select(
+        p1.alias("subj"), F.lit(OWL_INVERSEOF).alias("pred"), p2.alias("obj_iri")
+    )
+    bwd = pairs.select(
+        p2.alias("subj"), F.lit(OWL_INVERSEOF).alias("pred"), p1.alias("obj_iri")
+    )
+    return (
+        fwd.unionByName(bwd)
+        .select(
+            "subj", "pred", "obj_iri",
+            F.lit(None).cast("string").alias("obj_lit"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_dtype"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+        .select(*TRIPLE_COLS)
+    )

@@ -1,0 +1,88 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting. All-native expressions — these run
+in the same scan as extraction at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "with", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für", "auf", "ein", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "avec", "pour", "dans", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "con", "para", "en", "un", "una"],
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def _c(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def ws_token_count(text) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def bpe_ish_token_count(text) -> Column:
+    """BPE-ish subword count: letter runs + short digit runs + single
+    punctuation, via one regexp_extract_all (native)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_TOKEN_RE), 0)).cast("int")
+
+
+def _tokens(text) -> Column:
+    return F.filter(F.split(F.lower(_c(text)), r"[^\p{L}]+"), lambda t: t != "")
+
+
+def stopword_hits(text, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(_tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when no stopwords hit. Deterministic tie-break by
+    language code order."""
+    scores = F.array(
+        *[
+            F.struct(
+                (-stopword_hits(text, lang)).alias("neg_hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_min(scores)
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text) -> Column:
+    """Composite quality score in [0,1] from cheap surface statistics:
+    length band, punctuation ratio, stopword ratio, mean word length —
+    the C4/Gopher-style rule family as one native expression."""
+    t = _c(text)
+    n_chars = F.length(t)
+    n_tokens = ws_token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = stopword_hits(t, "en")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(1.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), 1.0).otherwise(0.25)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.6)
+    wl_ok = F.when((mean_word_len >= 2.5) & (mean_word_len <= 12), 1.0).otherwise(0.5)
+    return (0.4 * len_ok + 0.2 * punct_ok + 0.2 * stop_ok + 0.2 * wl_ok).alias("quality")
+
+
+def doc_fingerprint(text) -> Column:
+    """Deterministic document fingerprint: sha2 over aggressively normalized
+    text (lowercase, punctuation stripped, whitespace collapsed) — catches
+    formatting-only duplicates that exact hashing misses."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(_c(text)), r"[^\p{L}\p{N}]+", " "), r"\s+", " ")
+    )
+    return F.sha2(norm, 256)

@@ -1,0 +1,138 @@
+"""Ordering / window operators (SURVEY §2.8 W1-W5).
+
+The reference has no window functions but plenty of order-dependent logic;
+these are the Spark re-expressions. All windows partition by ``conv_id`` —
+the skewed-key dimension — so the skew-safe variants matter at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .. import SCHEMA_NS
+from .. import iri
+from ..schemas import TRIPLE_COLS
+
+P_NEXT_TURN = SCHEMA_NS + "nextTurn"
+P_OCCURS_BEFORE = SCHEMA_NS + "occursBefore"
+
+
+def ordered_turns(df: DataFrame) -> DataFrame:
+    """W1: stable turn ordering — ``row_number`` over
+    (conv_id ORDER BY turn_idx). The per-row invariant "per-turn text
+    equality under stable turn ordering" (input_hint) is: this ordering is a
+    pure function of turn_idx, never of input order (the reference's
+    file-order speechId, OBCXML2RDF.scala:170-211, made deterministic)."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def next_turn_triples(df: DataFrame) -> DataFrame:
+    """W2: prev/next chaining — lag/lead edges between consecutive turns
+    (the marriage/provenance neighbor links, grandtourjson2rdf.scala:113-135,
+    schoenbergcsv2rdf.scala:162-164, as turn succession)."""
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = F.lead("turn_idx").over(w)
+    return (
+        df.select("conv_id", "turn_idx", nxt.alias("next_idx"))
+        .filter(F.col("next_idx").isNotNull())
+        .select(
+            iri.turn_iri().alias("subj"),
+            F.lit(P_NEXT_TURN).alias("pred"),
+            iri.turn_iri("conv_id", "next_idx").alias("obj_iri"),
+            F.lit(None).cast("string").alias("obj_lit"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_dtype"),
+            "conv_id",
+            "turn_idx",
+        )
+        .select(*TRIPLE_COLS)
+    )
+
+
+def path_prefix_hierarchy(df: DataFrame, col: str, sep: str = "_") -> DataFrame:
+    """W3: path-prefix hierarchy — ``a_b_c`` → broader chain a ← a_b ← a_b_c
+    (procopecsv2rdf.scala:172-223 foldLeft). Returns (narrower, broader)
+    rows via posexplode + prefix reconstruction, all native exprs."""
+    parts = F.split(F.col(col), sep)
+    n = F.size(parts)
+    # prefix i (1-based, ≥2 parts) → (prefix_i, prefix_{i-1})
+    pairs = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: F.struct(
+            F.array_join(F.slice(parts, 1, i), sep).alias("narrower"),
+            F.array_join(F.slice(parts, 1, i - 1), sep).alias("broader"),
+        ),
+    )
+    return (
+        df.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.narrower", "p.broader")
+        .distinct()
+    )
+
+
+def numeric_prefix_hierarchy(df: DataFrame, col: str) -> DataFrame:
+    """W4: numeric-prefix hierarchy — class number's broader = its prefix of
+    length-1 (YKLXML2RDF.scala:50-51). Returns (code, broader)."""
+    c = F.col(col)
+    return (
+        df.select(c.alias("code"))
+        .filter(F.length("code") >= 2)
+        .select("code", F.expr(f"substring({col}, 1, length({col}) - 1)").alias("broader"))
+        .distinct()
+    )
+
+
+def last_marker_propagation(
+    lines: DataFrame, marker_col: str, order_col: str, part_col: str | None = None
+) -> DataFrame:
+    """W5: marker-delimited segmentation — carry the last non-null marker
+    forward across ordered lines (ceectsv2rdf.scala:215-227 letter-id
+    accumulation), then the caller groups by it. Classic sessionization via
+    ``last(ignorenulls)`` over an unbounded-preceding window.
+
+    At scale the order must be within a partitionable unit; pass ``part_col``
+    (e.g. file name) — a global orderBy is a single-task window."""
+    w = (W.partitionBy(part_col) if part_col else W.partitionBy()).orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return lines.withColumn("current_marker", F.last(marker_col, ignorenulls=True).over(w))
+
+
+def sessionize(
+    df: DataFrame, key: str = "conv_id", ts_col: str = "ts", gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization within a key: new session when the time gap
+    from the previous event exceeds ``gap_minutes`` (lag + cumsum pattern).
+    Adds ``session_id`` = ``<key>#<n>``."""
+    w = W.partitionBy(key).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_n = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return df.withColumn("session_id", F.concat(F.col(key), F.lit("#"), sess_n.cast("string")))
+
+
+def skew_safe_conv_stats(df: DataFrame, bucket_size: int = 1000) -> DataFrame:
+    """Per-conversation aggregates that survive a hot conv_id holding 10%+
+    of all turns (SURVEY §7.2 hard-part 4): two-phase aggregation salted on
+    ``turn_idx // bucket_size`` — partial per (conv, bucket), then final per
+    conv. Returns (conv_id, n_turns, first_ts, last_ts, total_words)."""
+    from ..functions.text import wordcount
+
+    partial = (
+        df.groupBy("conv_id", (F.col("turn_idx") / bucket_size).cast("long").alias("_b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+            F.sum(F.coalesce(wordcount("text"), F.lit(0))).alias("w"),
+        )
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"),
+        F.min("mn").alias("first_ts"),
+        F.max("mx").alias("last_ts"),
+        F.sum("w").alias("total_words"),
+    )

@@ -1,0 +1,179 @@
+"""The staged KG-construction pipeline (SURVEY §7.0):
+
+    normalize → extract → link → canonicalize → materialize
+
+Each stage is a pure function *checkpoint tables → checkpoint tables*,
+orchestrated by a thin driver that records per-stage/per-partition lineage +
+metrics and skips completed stages on re-run (idempotent resume — north_star
+mandate). On a cluster the checkpoints are bucket-partitioned Iceberg
+tables; here the Catalog writes the same layout as parquet.
+
+Scale notes (the plan at 1000 executors):
+* extract is a narrow map over the transcripts scan — no shuffle; its
+  parallelism is the input's partition count (bucketed by conv_id).
+* link shuffles only the mentions relation (tiny vs transcripts) and
+  broadcasts the surface index; a hot surface form is absorbed by AQE
+  skew-join + the two-phase dedup.
+* canonicalize iterates joins over the alias-edge relation (entity-sized,
+  not turn-sized) with per-round checkpoints to cut lineage.
+* materialize's single big shuffle is the set-semantics dedup, partitioned
+  by the triple key — AQE handles skew; output re-buckets by conv_id.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import NS
+from ..operators import canonicalize as CN
+from ..operators import extract as EX
+from ..operators import link as LK
+from ..operators import windows as WD
+from ..sources.catalog import Catalog
+from .lineage import LineageRegistry, new_run_id, partition_row_counts
+
+STAGES = ["normalize", "extract", "link", "canonicalize", "materialize"]
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, warehouse: str, ns: str = NS, n_buckets: int = 32):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse, n_buckets=n_buckets)
+        self.registry = LineageRegistry(warehouse)
+        self.ns = ns
+
+    def _stage(self, run_id, name, fingerprint, force, compute, tables, metrics, bucket_cols=None):
+        """Run one stage with skip-if-complete semantics; ``compute`` returns
+        {table_name: DataFrame}; all get checkpointed."""
+        if not force and self.registry.is_done(name, fingerprint) and all(
+            self.catalog.exists(t) for t in tables
+        ):
+            metrics[name] = {"status": "skipped", "wall_s": 0.0}
+            return
+        t0 = time.time()
+        outputs = compute()
+        rows_out = 0
+        for tname, df in outputs.items():
+            bc = (bucket_cols or {}).get(tname, "conv_id")
+            self.catalog.write(df, tname, bucket_col=bc)
+            rows_out += self.catalog.read(tname).count()
+        wall_ms = int((time.time() - t0) * 1000)
+        pcounts = partition_row_counts(self.catalog.read(tables[0]))
+        self.registry.record(
+            run_id, name, fingerprint, None, rows_out, wall_ms, partition_rows=pcounts
+        )
+        metrics[name] = {"status": "done", "wall_s": wall_ms / 1000.0, "rows_out": rows_out}
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        dictionary: DataFrame,
+        code_tables: DataFrame | None = None,
+        alias_edges: DataFrame | None = None,
+        dictionary_surfaces: list[str] | None = None,
+        fingerprint: str = "v1",
+        force: bool = False,
+    ) -> dict:
+        run_id = new_run_id()
+        metrics: dict = {"run_id": run_id}
+        cat = self.catalog
+
+        # ---- stage 1: normalize -------------------------------------------
+        def normalize():
+            adm = EX.admissible(transcripts)
+            return {
+                "transcripts_norm": WD.ordered_turns(adm),
+                "transcripts_quarantine": EX.quarantined(transcripts),
+            }
+
+        self._stage(run_id, "normalize", fingerprint, force, normalize,
+                    ["transcripts_norm", "transcripts_quarantine"], metrics)
+
+        # ---- stage 2: extract ---------------------------------------------
+        surfaces = dictionary_surfaces
+        if surfaces is None:
+            surfaces = [
+                r["pref_label"] for r in dictionary.select("pref_label").collect()
+            ] + [
+                r["a"]
+                for r in dictionary.select(F.explode("alt_labels").alias("a")).collect()
+            ]
+
+        def extract():
+            norm = cat.read("transcripts_norm")
+            triples = EX.extract_triples(norm, ns=self.ns)
+            if code_tables is not None:
+                triples = triples.unionByName(EX.code_table_triples(code_tables, ns=self.ns))
+            triples = triples.unionByName(WD.next_turn_triples(norm))
+            return {
+                "triples_candidate": triples,
+                "mentions": EX.extract_mentions(norm, surfaces),
+            }
+
+        self._stage(run_id, "extract", fingerprint, force, extract,
+                    ["triples_candidate", "mentions"], metrics)
+
+        # ---- stage 3: link ------------------------------------------------
+        def link():
+            mentions = cat.read("mentions")
+            linked = LK.link_mentions(mentions, dictionary, ns=self.ns)
+            return {
+                "mentions_linked": linked,
+                "triples_mentions": LK.mention_triples(linked),
+                "triples_dictionary": LK.dictionary_triples(dictionary, ns=self.ns),
+                "entities_new": LK.new_entities(linked),
+            }
+
+        self._stage(run_id, "link", fingerprint, force, link,
+                    ["mentions_linked", "triples_mentions", "triples_dictionary", "entities_new"],
+                    metrics,
+                    bucket_cols={"triples_dictionary": None, "entities_new": None})
+
+        # ---- stage 4: canonicalize ----------------------------------------
+        def canonicalize():
+            if alias_edges is None:
+                empty = self.spark.createDataFrame([], "node_id string, canonical_id string")
+                return {"canonical_map": empty, "triples_sameas": CN.sameas_triples(empty, ns=self.ns)}
+            cm = CN.connected_components(alias_edges)
+            return {
+                "canonical_map": cm,
+                "triples_sameas": CN.sameas_triples(cm, ns=self.ns),
+            }
+
+        self._stage(run_id, "canonicalize", fingerprint, force, canonicalize,
+                    ["canonical_map", "triples_sameas"], metrics,
+                    bucket_cols={"canonical_map": None, "triples_sameas": None})
+
+        # ---- stage 5: materialize -----------------------------------------
+        def materialize():
+            parts = [
+                cat.read("triples_candidate"),
+                cat.read("triples_mentions"),
+                cat.read("triples_dictionary"),
+            ]
+            data_triples = parts[0]
+            for p in parts[1:]:
+                data_triples = data_triples.unionByName(p)
+            cm = cat.read("canonical_map")
+            if cm.limit(1).count() > 0:
+                # rewrite data triples to canonical IRIs (G2); the sameAs
+                # links themselves are exempt — rewriting them would
+                # collapse canonical→original into self-loops
+                data_triples = CN.rewrite_triples(
+                    data_triples, CN.canonical_rewrite_map(cm, ns=self.ns)
+                )
+            all_triples = data_triples.unionByName(cat.read("triples_sameas"))
+            return {"triples": EX.dedup_triples(all_triples)}
+
+        self._stage(run_id, "materialize", fingerprint, force, materialize, ["triples"], metrics)
+
+        metrics["total_wall_s"] = sum(
+            m.get("wall_s", 0.0) for k, m in metrics.items() if isinstance(m, dict)
+        )
+        return metrics
+
+    def triples(self) -> DataFrame:
+        return self.catalog.read("triples")

@@ -1,0 +1,102 @@
+"""Dedup operators tested against brute-force pure-Python oracles on the
+driver-provided documents table (sf0.001)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from anything2rdf_spark.operators import dedupe as DD
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def py_shingles(text, n):
+    toks = " ".join(text.lower().split()).split(" ")
+    if len(toks) < n:
+        return {" ".join(text.lower().split())}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in DD.exact_duplicates(df).collect()}
+    # case + whitespace normalize → 1 and 2 collide; canonical = min id
+    assert out[1] == (1, False) and out[2] == (1, True) and out[3] == (3, False)
+
+
+def test_shingles_matches_oracle(spark, docs):
+    sample = docs.limit(20)
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in sample.select("doc_id", DD.shingles("text", 3).alias("sh")).collect()
+    }
+    for r in sample.collect():
+        assert got[r["doc_id"]] == py_shingles(r["text"], 3), r["doc_id"]
+
+
+def test_ngram_jaccard_pairs_against_bruteforce(spark, docs):
+    sample = docs.limit(60).cache()
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(sample, shingle_n=3, threshold=0.5).collect()
+    }
+    rows = [(r["doc_id"], py_shingles(r["text"], 3)) for r in sample.collect()]
+    expected = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            expected[(min(ia, ib), max(ia, ib))] = j
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    # near-duplicate pair (one word changed) + unrelated docs
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [(1, base), (2, base.replace("today", "tomorrow")), (3, "completely unrelated text about spark shuffles and joins"), (4, base)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]) for r in DD.minhash_lsh_candidates(df, shingle_n=3, num_hashes=32, bands=16).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup collides in ≥1 band
+    assert (1, 3) not in pairs and (2, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+            (3, "spark partitions shuffle data across executors during wide joins"),
+            (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", DD.simhash64("text").alias("s")).collect()}
+    assert sigs[1] == sigs[4]  # identical text → identical signature
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+    cands = {(r["a"], r["b"]): r["hamming"] for r in DD.simhash_hamming_candidates(df, max_hamming=24).collect()}
+    assert (1, 4) in cands and cands[(1, 4)] == 0
+    assert (1, 2) in cands and cands[(1, 2)] == hamming(sigs[1], sigs[2])
+    assert all(h <= 24 for h in cands.values())
+
+
+def test_exact_dedup_on_documents_table(spark, docs):
+    out = DD.exact_duplicates(docs)
+    n = docs.count()
+    assert out.count() == n
+    assert out.filter(F.col("is_dup")).count() == n - out.select("canonical_id").distinct().count()

@@ -1,0 +1,73 @@
+"""Similarity search vs a numpy brute-force oracle on the driver-provided
+embeddings table (sf0.001)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anything2rdf_spark.operators import similarity as SM
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+def np_topk(corpus, queries, k):
+    out = {}
+    cn = {i: v / np.linalg.norm(v) for i, v in corpus.items()}
+    for qi, qv in queries.items():
+        qn = qv / np.linalg.norm(qv)
+        sims = sorted(((float(v @ qn), i) for i, v in cn.items()), key=lambda t: (-t[0], t[1]))
+        out[qi] = [i for _, i in sims[:k]]
+    return out
+
+
+def test_cosine_topk_exact(spark, emb):
+    corpus = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    queries_df = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    queries = {r["query_id"]: np.array(r["embedding"]) for r in queries_df.collect()}
+    got = SM.cosine_topk(emb, queries_df, k=5)
+    got_map = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        got_map.setdefault(r["query_id"], []).append(r["vec_id"])
+    expected = np_topk(corpus, queries, 5)
+    for qi in queries:
+        assert got_map[qi] == expected[qi], qi
+        assert got_map[qi][0] == qi  # self is nearest
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries_df = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = SM.cosine_topk(emb, queries_df, k=5)
+    approx = SM.lsh_topk(emb, queries_df, k=5, n_planes=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # LSH with 4 planes (16 buckets over 500 vecs): the query's own bucket
+    # must contain the query, and a reasonable share of true neighbors
+    assert all((qid, qid) in a for qid, _ in {(q, q) for q, _ in e})
+    assert recall >= 0.3, recall
+
+
+def test_lsh_signature_deterministic(spark, emb):
+    planes = SM.hyperplanes(64, 8, seed=42)
+    s1 = emb.select(SM.lsh_signature("embedding", planes).alias("b"))
+    s2 = emb.repartition(7).select(SM.lsh_signature("embedding", planes).alias("b"))
+    assert s1.exceptAll(s2).count() == 0
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]) for r in SM.embedding_neardup_pairs(df, threshold=0.99, n_planes=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,35 @@
+from anything2rdf_spark.operators.extract import dedup_triples, extract_triples
+from anything2rdf_spark.streaming import stream_extract as SE
+from anything2rdf_spark.sources import synth
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    ts = synth.transcripts(spark, n_convs=15, seed=33)
+    src = str(tmp_path / "stream_src")
+    ts.repartition(4).write.parquet(src)
+
+    stream_out = SE.run_stream_to_memory(spark, src, name="t_stream")
+    batch_out = extract_triples(spark.read.parquet(src))
+
+    a = dedup_triples(stream_out)
+    b = dedup_triples(batch_out)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_streaming_conv_stats_runs(spark, tmp_path):
+    ts = synth.transcripts(spark, n_convs=10, seed=34)
+    src = str(tmp_path / "stream_src2")
+    ts.write.parquet(src)
+    q = (
+        SE.streaming_conv_stats(SE.read_transcripts_stream(spark, src))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_stats")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM t_stats")
+    assert out.count() > 0
+    assert set(out.columns) == {"window", "conv_id", "n_turns", "max_turn_idx"}

@@ -1,0 +1,76 @@
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from anything2rdf_spark.operators import textstats as TS
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_ws_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",), ("one",)], "t string")
+    got = [r["n"] for r in df.select(TS.ws_token_count("t").alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_bpe_ish_token_count_matches_python_regex(spark, docs):
+    sample = docs.limit(25)
+    got = {r["doc_id"]: r["n"] for r in sample.select("doc_id", TS.bpe_ish_token_count("text").alias("n")).collect()}
+    pat = re.compile(TS.BPE_ISH_TOKEN_RE)
+    for r in sample.collect():
+        assert got[r["doc_id"]] == len(pat.findall(r["text"])), r["doc_id"]
+
+
+def test_lang_id_deterministic_and_sane(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat in the house with a friend",),
+            ("der Hund und die Katze ist nicht mit der Maus",),
+            ("le chat est dans la maison avec les amis pour un jour",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(TS.lang_id("t").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "the quick brown fox jumps over the lazy dog and runs home with the ball"),
+            ("short", "hi"),
+            ("punct", "!!! ??? ;;; ::: ,,, ... !!! ??? !!!"),
+        ],
+        "k string, t string",
+    )
+    got = {r["k"]: r["q"] for r in df.select("k", TS.quality_score("t").alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got["good"] > got["short"] and got["good"] > got["punct"]
+
+
+def test_doc_fingerprint_normalizes_formatting(spark):
+    df = spark.createDataFrame(
+        [("A", "Hello,   World!"), ("B", "hello world"), ("C", "other text")],
+        "k string, t string",
+    )
+    got = {r["k"]: r["f"] for r in df.select("k", TS.doc_fingerprint("t").alias("f")).collect()}
+    assert got["A"] == got["B"] != got["C"]
+
+
+def test_stats_run_on_documents_table(spark, docs):
+    out = docs.select(
+        "doc_id",
+        TS.ws_token_count("text").alias("tokens"),
+        TS.lang_id("text").alias("lang_guess"),
+        TS.quality_score("text").alias("quality"),
+        TS.doc_fingerprint("text").alias("fp"),
+    )
+    assert out.count() == docs.count()
+    assert out.filter(F.col("tokens") <= 0).count() == 0
