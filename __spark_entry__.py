@@ -544,7 +544,7 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_nationkey >= 5
 LEFT JOIN (SELECT n_nationkey, r_name FROM nation JOIN region ON n_regionkey = r_regionkey) r
   ON c.c_nationkey = r.n_nationkey
 """
-_KG_PREC_ORACLE = _KG_PREC_SPARK.replace("LEFT ANTI JOIN", "LEFT ANTI JOIN")
+_KG_PREC_ORACLE = _KG_PREC_SPARK
 
 # kg_multivalue_split — F8 split+explode+trim+drop-empties
 _KG_SPLIT_SPARK = """

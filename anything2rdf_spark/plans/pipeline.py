@@ -55,13 +55,15 @@ class Pipeline:
             return
         t0 = time.time()
         outputs = compute()
-        rows_out = 0
         for tname, df in outputs.items():
             bc = (bucket_cols or {}).get(tname, "conv_id")
             self.catalog.write(df, tname, bucket_col=bc)
-            rows_out += self.catalog.read(tname).count()
-        wall_ms = int((time.time() - t0) * 1000)
+        # ONE metrics job: per-partition row counts of the primary output
+        # (read back from the checkpoint — also validates readability);
+        # rows_out = their sum. Secondary outputs are not re-counted.
         pcounts = partition_row_counts(self.catalog.read(tables[0]))
+        rows_out = sum(pcounts.values())
+        wall_ms = int((time.time() - t0) * 1000)
         self.registry.record(
             run_id, name, fingerprint, None, rows_out, wall_ms, partition_rows=pcounts
         )

@@ -32,10 +32,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE's post-shuffle coalescing from collapsing small-SF test
+        # runs to 1 partition (it would serialize every shuffled stage);
+        # at 100 TB the default 64m advisory size is the right setting
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = driver-only: the driver heap is the whole cluster's
+        # memory; size it to the machine, not the default 1g (guide §Session)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

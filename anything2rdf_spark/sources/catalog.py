@@ -55,7 +55,11 @@ class Catalog:
                 "pbucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets))
             )
             (
-                out.write.mode("overwrite")
+                # hash write-distribution (Iceberg write.distribution-mode=hash):
+                # co-locate each bucket in one task so the layout is
+                # bucket-per-file instead of tasks×buckets small files
+                out.repartition(self.n_buckets, "pbucket")
+                .write.mode("overwrite")
                 .partitionBy("pbucket")
                 .parquet(self.path(table))
             )

@@ -1,0 +1,73 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster usage (north_rule execution contract):
+
+    zip -r a2r.zip anything2rdf_spark
+    spark-submit --py-files a2r.zip run_pipeline.py \
+        --input  <transcripts parquet/Iceberg path> \
+        --warehouse <checkpoint warehouse path> \
+        [--dictionary <entity dictionary parquet>] \
+        [--alias-edges <alias edges parquet>] \
+        [--synth-convs N]   # generate synthetic input instead of --input
+
+Local smoke:  python run_pipeline.py --synth-convs 200 --warehouse /tmp/wh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts parquet path (input_hint schema)")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--dictionary", help="entity dictionary parquet path")
+    ap.add_argument("--alias-edges", dest="alias_edges", help="alias edges parquet path")
+    ap.add_argument("--synth-convs", dest="synth_convs", type=int, default=0)
+    ap.add_argument("--fingerprint", default="v1")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from anything2rdf_spark.plans.pipeline import Pipeline
+    from anything2rdf_spark.session import get_spark
+    from anything2rdf_spark.sources import synth
+
+    spark = get_spark(master=args.master, app_name="a2r-pipeline")
+
+    if args.synth_convs:
+        transcripts = synth.transcripts(spark, n_convs=args.synth_convs, seed=42)
+    elif args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        ap.error("need --input or --synth-convs")
+
+    dictionary = (
+        spark.read.parquet(args.dictionary) if args.dictionary else synth.entity_dictionary(spark)
+    )
+    alias_edges = (
+        spark.read.parquet(args.alias_edges) if args.alias_edges else synth.alias_edges(spark)
+    )
+    surfaces = None if args.dictionary else synth.ALL_MENTION_NAMES
+
+    pipe = Pipeline(spark, args.warehouse)
+    metrics = pipe.run(
+        transcripts=transcripts,
+        dictionary=dictionary,
+        code_tables=synth.code_tables(spark),
+        alias_edges=alias_edges,
+        dictionary_surfaces=surfaces,
+        fingerprint=args.fingerprint,
+        force=args.force,
+    )
+    metrics["n_triples"] = pipe.triples().count()
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

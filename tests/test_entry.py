@@ -1,0 +1,57 @@
+"""Driver-contract smoke: entry() runs, every oracle key has a query, and a
+representative query subset matches DuckDB at sf0.001 (full sweep lives in
+scripts/verify_entry.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_contract_shape():
+    qs = E.queries()
+    os = E.oracle_sql()
+    assert set(os) <= set(qs)
+    assert len(qs) >= 30 and len(os) >= 25
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["subj", "pred", "obj_iri", "obj_lit", "obj_dtype"]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["kg_turn_triples", "kg_sessionize", "kg_connected_components", "sim_cosine_topk"],
+)
+def test_query_matches_oracle(spark, name):
+    con = duckdb.connect()
+    for t in E.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    sdf = E.queries()[name](spark, SF)
+    res = con.execute(E.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def cell(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, float):
+                return f"{v:.6f}"
+            return str(v)
+
+        return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+    assert norm(srows, scols) == norm(orows, ocols)
