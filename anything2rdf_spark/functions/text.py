@@ -109,6 +109,58 @@ def norm_surface(col: Column | str) -> Column:
     return F.lower(F.trim(F.regexp_replace(punct_trim(nfc_normalize(_c(col))), r"\s+", " ")))
 
 
+def parse_wiki_templates_udf():
+    """F11: MediaWiki ``{{template|k=v|...}}`` field parser
+    (ttpxml2rdf.scala:26,37-77,110-134) — depth-aware brace scanning per
+    batch; returns array<struct<template:string, key:string, value:string>>.
+    """
+    import re as _re
+
+    field_re = _re.compile(r"\|\s*([^=|{}]+?)\s*=\s*([^|{}]*)")
+
+    def parse_one(text: str):
+        if not text:
+            return []
+        out = []
+        i, n = 0, len(text)
+        while i < n - 1:
+            if text[i : i + 2] == "{{":
+                depth, j = 1, i + 2
+                while j < n - 1 and depth:
+                    if text[j : j + 2] == "{{":
+                        depth += 1
+                        j += 2
+                    elif text[j : j + 2] == "}}":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                body = text[i + 2 : j - 2]
+                name = body.split("|", 1)[0].strip()
+                for m in field_re.finditer(body):
+                    out.append({"template": name, "key": m.group(1), "value": m.group(2).strip()})
+                i = j
+            else:
+                i += 1
+        return out
+
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("template", T.StringType()),
+                T.StructField("key", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def parse(texts: pd.Series) -> pd.Series:
+        return texts.map(parse_one)
+
+    return parse
+
+
 def mention_scan_udf(surfaces: list[str]):
     """Build an Arrow-vectorized mention scanner for a fixed surface-form
     dictionary (the engine's turn-level extractor, SURVEY §2.12 ext-point 1;

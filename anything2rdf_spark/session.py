@@ -43,6 +43,9 @@ def get_spark(
         # local mode = driver-only: the driver heap is the whole cluster's
         # memory; size it to the machine, not the default 1g (guide §Session)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # throughput GC: measured ~15% faster than G1 on codegen-heavy
+        # string workloads in this environment
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,127 @@
+import gzip
+import glob as pyglob
+
+from pyspark.sql import functions as F
+
+from anything2rdf_spark.operators import sinks as SK
+from anything2rdf_spark.sources import readers as RD
+
+
+def test_csv_variants(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text('a,b\n1,"x,y"\n2,z\n')
+    pos = RD.csv_positional(spark, str(p))
+    assert pos.columns == ["_c0", "_c1"] and pos.count() == 3
+    named = RD.csv_dict(spark, str(p))
+    assert named.columns == ["a", "b"]
+    assert {r["b"] for r in named.collect()} == {"x,y", "z"}
+
+
+def test_tsv_custom_sep(spark, tmp_path):
+    p = tmp_path / "d.tsv"
+    p.write_text("a\tb\n1\tx|y\n")
+    df = RD.tsv_custom(spark, str(p), quote="|")
+    assert df.collect()[0]["b"] == "x|y" or df.collect()[0]["b"] == "y"  # quote stripping
+
+
+def test_line_records(spark, tmp_path):
+    p = tmp_path / "r.txt"
+    p.write_text("id1\t<xml>one</xml>\nid2\t<xml>two</xml>\n")
+    df = RD.line_records(spark, str(p))
+    got = {r["id"]: r["payload"] for r in df.collect()}
+    assert got == {"id1": "<xml>one</xml>", "id2": "<xml>two</xml>"}
+
+
+def test_xml_speeches(spark, tmp_path):
+    xml = (
+        "<doc><speech speaker='s1' role='witness' year='1732'>hello <i>there</i></speech>"
+        "<speech speaker='s2' role='judge' year='1732'>order</speech></doc>"
+    )
+    p = tmp_path / "x.txt"
+    p.write_text(f"f1\t{xml}\n")
+    recs = RD.line_records(spark, str(p))
+    out = RD.xml_speeches(recs)
+    rows = {r["speech_idx"]: (r["speaker"], r["role"], r["text"]) for r in out.collect()}
+    assert rows[0] == ("s1", "witness", "hello there")
+    assert rows[1] == ("s2", "judge", "order")
+
+
+def test_marker_delimited(spark, tmp_path):
+    p = tmp_path / "letters.txt"
+    p.write_text("<L L1>\nline a\nline b\n<L L2>\nline c\n")
+    df = RD.marker_delimited(spark, str(p))
+    got = {r["record_id"]: r["text"] for r in df.collect()}
+    assert got == {"L1": "line a\nline b", "L2": "line c"}
+
+
+def test_xsd_enumeration(spark):
+    payload = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+                            xmlns:xml="http://www.w3.org/XML/1998/namespace">
+      <xs:enumeration value="A"><xs:annotation>
+        <xs:documentation xml:lang="en">Alpha</xs:documentation>
+        <xs:documentation xml:lang="fi">Alfa</xs:documentation>
+      </xs:annotation></xs:enumeration>
+      <xs:enumeration value="B"/>
+    </xs:schema>"""
+    df = RD.xsd_enumeration(spark, payload)
+    rows = {(r["code"], r["lang"]): r["label"] for r in df.collect()}
+    assert rows[("A", "en")] == "Alpha" and rows[("A", "fi")] == "Alfa"
+    assert ("B", None) in rows
+
+
+def test_marc_is_stubbed(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        RD.marc_records_stub(spark, "/nope")
+
+
+TRIPLES_ROWS = [
+    ("http://x/s", "http://x/p", "http://x/o", None, None, None, None, None),
+    ("http://x/s", "http://x/p", None, 'li"ne\nbreak', None, None, None, None),
+    ("http://x/s", "http://x/p", None, "bonjour", "fr", None, None, None),
+    ("http://x/s", "http://x/p", None, "42", None, "http://www.w3.org/2001/XMLSchema#integer", None, None),
+    ("_:b1", "http://x/p", "_:b2", None, None, None, None, None),
+]
+TRIPLES_SCHEMA = (
+    "subj string, pred string, obj_iri string, obj_lit string, obj_lang string,"
+    " obj_dtype string, conv_id string, turn_idx int"
+)
+
+
+def test_nt_lines(spark):
+    df = spark.createDataFrame(TRIPLES_ROWS, TRIPLES_SCHEMA)
+    lines = {r["line"] for r in SK.nt_lines(df).collect()}
+    assert "<http://x/s> <http://x/p> <http://x/o> ." in lines
+    assert '<http://x/s> <http://x/p> "li\\"ne\\nbreak" .' in lines
+    assert '<http://x/s> <http://x/p> "bonjour"@fr .' in lines
+    assert (
+        '<http://x/s> <http://x/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .' in lines
+    )
+    assert "_:b1 <http://x/p> _:b2 ." in lines
+
+
+def test_write_nt_gzip(spark, tmp_path):
+    df = spark.createDataFrame(TRIPLES_ROWS, TRIPLES_SCHEMA)
+    out = str(tmp_path / "nt")
+    SK.write_nt(df, out, gzip=True, sort=True)
+    files = pyglob.glob(f"{out}/*.txt.gz")
+    assert files
+    text = "".join(gzip.open(f, "rt").read() for f in files)
+    assert text.count(" .") == 5
+
+
+def test_ttl_prefix_compaction(spark):
+    df = spark.createDataFrame(TRIPLES_ROWS[:1], TRIPLES_SCHEMA)
+    lines = [r["line"] for r in SK.ttl_lines(df, {"x": "http://x/"}).collect()]
+    assert "@prefix x: <http://x/> ." in lines
+    assert "x:s x:p x:o ." in lines
+
+
+def test_split_schema_data(spark):
+    df = spark.createDataFrame(
+        [("http://x/schema#C", "p", None, None, None, None, None, None)] + TRIPLES_ROWS[:1],
+        TRIPLES_SCHEMA,
+    )
+    schema, data = SK.split_schema_data(df, "http://x/schema#")
+    assert schema.count() == 1 and data.count() == 1
