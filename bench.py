@@ -92,7 +92,7 @@ def _worker_extract(master: str, input_path: str, shuffle_partitions: int) -> No
     from anything2rdf_spark.session import get_spark
     from anything2rdf_spark.sources import synth
 
-    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "10"))
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "12"))
     spark = get_spark(master=master, app_name="a2r-bench-extract", shuffle_partitions=shuffle_partitions)
     base = spark.read.parquet(input_path)
     # replicate rows in-flight (distinct conv_ids) so per-record CPU work
@@ -170,7 +170,9 @@ def main():
     # whole run.
     n_small = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "1"))
     n_big = 4 * n_small
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    t_start = time.time()
     n_convs = SF_CONVS.get(sf, 10000)
     pipe_input = os.path.join(tempfile.gettempdir(), f"a2r_bench_input_sf{sf}")
     materialize_input(n_convs, pipe_input)
@@ -185,7 +187,9 @@ def main():
     # minute-to-minute (same job varies up to 6x back-to-back) → interleave
     # configs, best of k per config so both sides sample the same conditions
     runs: dict[int, list[dict]] = {n_small: [], n_big: []}
-    for _ in range(repeats):
+    for i in range(repeats):
+        if i > 0 and time.time() - t_start > budget_s:
+            break  # stay inside the driver's bench window on throttled days
         for n in (n_small, n_big):
             runs[n].append(run_extract_once(f"local[{n}]", scale_input, shuffle_partitions=n))
     small = min(runs[n_small], key=lambda r: r["wall_s"])
@@ -217,10 +221,13 @@ def main():
         f.write(
             "# BENCH — two-parallelism scaling run (BASELINE.md §3 protocol)\n\n"
             f"Pipeline input: synthetic transcripts, sf={sf} ({n_convs} conversations\n"
-            f"+ skewed conv_hot, seed 42). Scaling input: {n_convs * 4} conversations\n"
-            "(4x), same parquet for every run. Each Spark run gets its own OS\n"
-            "process (in-process SparkContext restarts leak dead Python accumulator\n"
-            f"servers); scaling runs interleaved x{repeats}, best wall per config.\n\n"
+            "+ skewed conv_hot, seed 42), same parquet for every run. The scaling\n"
+            "kernel replicates the input in-flight (explode x"
+            f"{os.environ.get('SPARK_GRAFT_BENCH_REPLICATE', '12')}, distinct conv_ids)\n"
+            "so CPU work dominates scan IO and per-job fixed cost. Each Spark run\n"
+            "gets its own OS process (in-process SparkContext restarts leak dead\n"
+            f"Python accumulator servers); scaling runs interleaved x{repeats}, best\n"
+            "wall per config (host CPU is burst-throttled; see docs/DESIGN.md).\n\n"
             f"Pair choice: N={n_small} vs 4N={n_big} threads. This sandbox's 32\n"
             "advertised vCPUs are oversubscribed — a pure-CPU sha2 scan measures\n"
             "2.4x SLOWER at local[32] than local[8] (84% sys time, 9% steal) — so\n"
