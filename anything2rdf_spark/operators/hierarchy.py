@@ -75,10 +75,9 @@ def rollup_content(
     closure = edges
     frontier = edges
     for _ in range(max_depth):
+        step = edges.withColumnRenamed("anc", "anc2").withColumnRenamed("child", "anc")
         nxt = (
-            frontier.join(
-                edges.withColumnRenamed("child", "anc").withColumnRenamed("anc", "anc2"), "anc"
-            )
+            frontier.join(step, "anc")
             .select(F.col("child"), F.col("anc2").alias("anc"))
             .exceptAll(closure)
         )

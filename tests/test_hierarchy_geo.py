@@ -24,16 +24,16 @@ def test_rollup_content(spark):
 
 def test_flatten_tree(spark):
     data = [
-        {
-            "id": "r1",
-            "name": "Rome",
-            "children": [
-                {"id": "c1", "name": "Trip1", "children": []},
-                {"id": "c2", "name": "Trip2", "children": []},
-            ],
-        }
+        (
+            "r1",
+            "Rome",
+            [("c1", "Trip1", []), ("c2", "Trip2", [])],
+        )
     ]
-    df = spark.createDataFrame(data)
+    df = spark.createDataFrame(
+        data,
+        "id string, name string, children array<struct<id:string, name:string, children:array<struct<id:string>>>>",
+    )
     out = H.flatten_tree(df)
     rows = {r["id"]: (r["parent_id"], r["depth"]) for r in out.collect()}
     assert rows["r1"] == (None, 0)
