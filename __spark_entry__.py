@@ -613,6 +613,48 @@ GROUP BY t.role, c.label
 """
 )
 
+# kg_hierarchy_rollup — A5 content rollup over a region→nation→customer tree
+# (Spark: bounded transitive-closure joins; oracle: recursive CTE)
+_HIER_NODES_SPARK = """
+SELECT concat('r', cast(r_regionkey AS string)) AS id, CAST(NULL AS string) AS parent_id, r_name AS content FROM region
+UNION ALL
+SELECT concat('n', cast(n_nationkey AS string)), concat('r', cast(n_regionkey AS string)), n_name FROM nation
+UNION ALL
+SELECT concat('c', cast(c_custkey AS string)), concat('n', cast(c_nationkey AS string)), c_name
+FROM customer WHERE c_custkey < 40
+"""
+_HIER_NODES_ORACLE = """
+SELECT 'r' || cast(r_regionkey AS varchar) AS id, CAST(NULL AS varchar) AS parent_id, r_name AS content FROM region
+UNION ALL
+SELECT 'n' || cast(n_nationkey AS varchar), 'r' || cast(n_regionkey AS varchar), n_name FROM nation
+UNION ALL
+SELECT 'c' || cast(c_custkey AS varchar), 'n' || cast(c_nationkey AS varchar), c_name
+FROM customer WHERE c_custkey < 40
+"""
+
+
+def _kg_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anything2rdf_spark.operators.hierarchy import rollup_content
+
+    _load(spark, sf_dir)
+    nodes = spark.sql(_HIER_NODES_SPARK)
+    return rollup_content(nodes)
+
+
+_KG_ROLLUP_ORACLE = f"""
+WITH RECURSIVE nodes AS ({_HIER_NODES_ORACLE}),
+reach AS (
+  SELECT id AS anc, id AS node FROM nodes
+  UNION ALL
+  SELECT r.anc, n.id AS node
+  FROM reach r JOIN nodes n ON n.parent_id = r.node
+)
+SELECT r.anc AS id,
+       string_agg(n.content, chr(10) ORDER BY r.node) AS complete_content
+FROM reach r JOIN nodes n ON n.id = r.node
+GROUP BY r.anc
+"""
+
 # ---------------------------------------------------------------------------
 # training-data extras over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -672,7 +714,7 @@ inter AS (
 )
 SELECT ida, idb, round(cast(i AS double) / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-WHERE cast(i AS double) / (sa.sz + sb.sz - i) >= 0.3
+WHERE cast(i AS double) / (sa.sz + sb.sz - i) >= 0.02
 """
 _JACCARD_ORACLE = """
 WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents WHERE doc_id < 80),
@@ -689,7 +731,7 @@ inter AS (
 )
 SELECT ida, idb, round(cast(i AS double) / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
-WHERE cast(i AS double) / (sa.sz + sb.sz - i) >= 0.3
+WHERE cast(i AS double) / (sa.sz + sb.sz - i) >= 0.02
 """
 
 # exact cosine top-k: double-precision left-fold on both engines, rounded
@@ -735,7 +777,7 @@ SELECT a.vec_id AS ida, b.vec_id AS idb,
 FROM c a JOIN c b ON a.vec_id < b.vec_id
 WHERE aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 AS double), (acc, z) -> acc + z)
       / (sqrt(aggregate(a.v, cast(0.0 AS double), (acc, z) -> acc + z * z))
-         * sqrt(aggregate(b.v, cast(0.0 AS double), (acc, z) -> acc + z * z))) >= 0.8
+         * sqrt(aggregate(b.v, cast(0.0 AS double), (acc, z) -> acc + z * z))) >= 0.35
 """
 _NEARDUP_ORACLE = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
@@ -744,7 +786,7 @@ SELECT a.vec_id AS ida, b.vec_id AS idb,
        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cosine_sim
 FROM c a JOIN c b ON a.vec_id < b.vec_id
 WHERE list_inner_product(a.v, b.v)
-      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.8
+      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.35
 """
 
 # lang id — stopword-hit argmax, EN vs other heuristic (deterministic)
@@ -885,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reification": _q(_KG_REIFY_SPARK),
         "kg_sameas_rewrite": _q(_KG_REWRITE_SPARK),
         "kg_connected_components": _kg_cc_spark,
+        "kg_hierarchy_rollup": _kg_rollup_spark,
         "kg_degree_merge": _q(_KG_MERGE_SPARK),
         "kg_get_or_create": _q(_KG_GOC_SPARK),
         "kg_quarantine": _q(_KG_QUARANTINE_SPARK),
@@ -927,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reification": _KG_REIFY_ORACLE,
         "kg_sameas_rewrite": _KG_REWRITE_ORACLE,
         "kg_connected_components": _KG_CC_ORACLE,
+        "kg_hierarchy_rollup": _KG_ROLLUP_ORACLE,
         "kg_degree_merge": _KG_MERGE_ORACLE,
         "kg_get_or_create": _KG_GOC_ORACLE,
         "kg_quarantine": _KG_QUARANTINE_ORACLE,
