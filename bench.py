@@ -170,7 +170,7 @@ def main():
     # whole run.
     n_small = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "1"))
     n_big = 4 * n_small
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     t_start = time.time()
     n_convs = SF_CONVS.get(sf, 10000)
@@ -191,6 +191,7 @@ def main():
         if i > 0 and time.time() - t_start > budget_s:
             break  # stay inside the driver's bench window on throttled days
         for n in (n_small, n_big):
+            time.sleep(10)  # cooldown: the burst-throttled host recovers with idle
             runs[n].append(run_extract_once(f"local[{n}]", scale_input, shuffle_partitions=n))
     small = min(runs[n_small], key=lambda r: r["wall_s"])
     big = min(runs[n_big], key=lambda r: r["wall_s"])
