@@ -84,6 +84,47 @@ def yn_bool(col: Column | str) -> Column:
     )
 
 
+def drop_sentinels(col: Column | str, sentinels: list[str] | None = None) -> Column:
+    """P2: sentinel-value guard — NULL out the reference's junk markers
+    ('N', '99', '0', 'xxxx', 'n.pl.', 'n.d.', '?'; FBTEETSV2RDF.scala:214-220,
+    333-344). Compose with ANE filters before emission."""
+    s = sentinels if sentinels is not None else ["N", "99", "0", "xxxx", "n.pl.", "n.d.", "?"]
+    c = _c(col)
+    return F.when(F.trim(c).isin(s), F.lit(None).cast("string")).otherwise(c)
+
+
+def wikipedia_to_dbpedia(col: Column | str) -> Column:
+    """F24: URL-rewrite linking — wikipedia article URL → DBpedia resource
+    IRI for owl:sameAs emission (procopecsv2rdf.scala:163)."""
+    return F.regexp_replace(
+        _c(col), r"^https?://[a-z]*\.?wikipedia\.org/wiki/", "http://dbpedia.org/resource/"
+    )
+
+
+def normalize_statute_id(col: Column | str) -> Column:
+    """F25: statute id normalization — ':' → '/' (FinlexXML2RDF.scala:38-40)
+    plus law-link zero-strip/reorder (ttpxml2rdf.scala:84: '14.6.1928/0161'
+    style refs → '1928/161' ids)."""
+    c = F.regexp_replace(_c(col), ":", "/")
+    return F.regexp_replace(c, r"^(?:\d{1,2}\.\d{1,2}\.)?(\d{4})/0*(\d+)$", r"$1/$2")
+
+
+# F26: language-code maps — name→ISO 639 and MARC bibliographic→ISO 639-1
+# (FBTEETSV2RDF.scala:131-161; ttpxml2rdf.scala:64-72; HelmetMARC2ISBNRDF.scala:74-78)
+LANGUAGE_NAME_TO_ISO = {
+    "English": "en", "French": "fr", "German": "de", "Italian": "it",
+    "Spanish": "es", "Latin": "la", "Dutch": "nl", "Finnish": "fi",
+    "Swedish": "sv", "Russian": "ru", "Greek": "el", "Portuguese": "pt",
+}
+MARC_TO_ISO = {"eng": "en", "fre": "fr", "ger": "de", "swe": "sv", "fin": "fi", "rus": "ru"}
+
+
+def language_code(col: Column | str, mapping: dict[str, str] | None = None) -> Column:
+    m = mapping or LANGUAGE_NAME_TO_ISO
+    mc = F.create_map(*[x for k, v in m.items() for x in (F.lit(k), F.lit(v))])
+    return mc[_c(col)]
+
+
 GENDER_MAP = {"M": "male", "F": "female", "m": "male", "f": "female"}
 
 

@@ -76,6 +76,17 @@ def un_camel_case(c: Column | str) -> Column:
     return F.regexp_replace(_col(c), r"(?<=\p{Ll})(?=\p{Lu})", " ")
 
 
+def valid_iri_or_fallback(candidate: Column | str, fallback: Column) -> Column:
+    """F5: IRI validation with fallback — the Jena IRIFactory violation check
+    (EMLOCSV2RDF.scala:159-168) as a structural regex: absolute scheme,
+    no spaces/angle-brackets/quotes/controls. Invalid candidates fall back
+    (reference warns + substitutes ``ns+id``); pair with a quarantine
+    projection ``candidate.isNotNull() & !is_valid`` for the warn rows."""
+    c = _col(candidate)
+    ok = c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^\s<>\"{}|\\^`]+$")
+    return F.when(c.isNotNull() & ok, c).otherwise(fallback)
+
+
 def mint(kind: str, *keys: Column | str, ns: str = NS) -> Column:
     """Mint ``ns + kind + '_' + k1 + '_' + k2 ...`` from natural keys.
 

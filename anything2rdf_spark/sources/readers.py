@@ -41,6 +41,22 @@ def tsv_custom(
     return r.csv(path)
 
 
+def csv_with_width_check(
+    spark: SparkSession, path: str, expected_cols: int, sep: str = ",", quote: str = '"'
+) -> tuple[DataFrame, DataFrame]:
+    """P4: column-count sanity check (schoenbergcsv2rdf.scala:133-134 warns
+    on row width ≠ 50) — rows with the wrong width go to a quarantine
+    DataFrame instead of a log line. Returns (good, quarantine)."""
+    raw = spark.read.option("sep", sep).option("quote", quote).csv(path)
+    width = F.size(F.array(*[F.col(c) for c in raw.columns])) - F.size(
+        F.filter(F.array(*[F.col(c) for c in raw.columns]), lambda x: x.isNull())
+    )
+    tagged = raw.withColumn("_width", width)
+    good = tagged.filter(F.col("_width") == expected_cols).drop("_width")
+    quarantine = tagged.filter(F.col("_width") != expected_cols)
+    return good, quarantine
+
+
 def json_documents(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
     """S6: JSON document scan (grandtourjson2rdf.scala:99-196); nested
     children decompose via operators.hierarchy.flatten_tree."""
