@@ -102,10 +102,11 @@ def _worker_extract(master: str, input_path: str, shuffle_partitions: int) -> No
     ts = base.select(
         F.explode(F.sequence(F.lit(1), F.lit(replicate))).alias("_k"), "*"
     ).withColumn("conv_id", F.concat_ws("#", "conv_id", "_k")).drop("_k")
-    # warm-up: JIT the codegen'd stages and start the Python worker pool
-    # (pandas import alone costs seconds per worker) so the timed section
-    # measures throughput, not process startup
-    warm = base.limit(4000)
+    # warm-up: JIT the codegen'd stages and start the FULL Python worker
+    # pool (pandas import alone costs seconds per worker) so the timed
+    # section measures throughput, not process startup. The sample filter
+    # touches every input partition, so every worker slot warms.
+    warm = base.filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(40)) == 0)
     extract_triples(warm).count()
     extract_mentions(warm, synth.ALL_MENTION_NAMES).count()
     t0 = time.time()
