@@ -28,6 +28,40 @@ def ordered_turns(df: DataFrame) -> DataFrame:
     return df.withColumn("turn_rank", F.row_number().over(w))
 
 
+def ordered_turns_skew_safe(df: DataFrame, bucket_size: int = 4096) -> DataFrame:
+    """W1 under skew: the hot conversation (10%+ of all turns, north_rule)
+    would serialize a plain conv_id window into one task. Two-phase rank
+    salted on ``turn_idx // bucket_size`` (SURVEY §7.2 hard-part 4):
+
+    1. rank within (conv_id, bucket) — parallel across the hot conv's
+       buckets;
+    2. bucket row-counts (one row per bucket) → cumulative offsets via a
+       window over the *tiny* bucket relation;
+    3. rank = offset + within-bucket rank.
+
+    Exactly equals ``ordered_turns`` output (test-enforced).
+    """
+    b = (F.col("turn_idx") / bucket_size).cast("long")
+    tagged = df.withColumn("_b", b).withColumn(
+        "_rn", F.row_number().over(W.partitionBy("conv_id", "_b").orderBy("turn_idx"))
+    )
+    counts = tagged.groupBy("conv_id", "_b").agg(F.count("*").alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                W.partitionBy("conv_id").orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).drop("_n")
+    return (
+        tagged.join(offsets, ["conv_id", "_b"])
+        .withColumn("turn_rank", (F.col("_off") + F.col("_rn")).cast("int"))
+        .drop("_b", "_rn", "_off")
+    )
+
+
 def next_turn_triples(df: DataFrame) -> DataFrame:
     """W2: prev/next chaining — lag/lead edges between consecutive turns
     (the marriage/provenance neighbor links, grandtourjson2rdf.scala:113-135,

@@ -87,7 +87,9 @@ class Pipeline:
         def normalize():
             adm = EX.admissible(transcripts)
             return {
-                "transcripts_norm": WD.ordered_turns(adm),
+                # skew-safe two-phase rank: a hot conv_id (10%+ of turns)
+                # never serializes into one window task (north_rule)
+                "transcripts_norm": WD.ordered_turns_skew_safe(adm),
                 "transcripts_quarantine": EX.quarantined(transcripts),
             }
 

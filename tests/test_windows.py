@@ -20,6 +20,15 @@ def test_ordered_turns_invariant_under_input_order(spark):
     assert bad == 0  # contiguous turn_idx → rank = idx+1
 
 
+def test_ordered_turns_skew_safe_equals_plain(spark):
+    ts = synth.transcripts(spark, n_convs=40, seed=17)  # includes conv_hot
+    plain = WD.ordered_turns(ts).select("conv_id", "turn_idx", "turn_rank")
+    salted = WD.ordered_turns_skew_safe(ts, bucket_size=16).select(
+        "conv_id", "turn_idx", "turn_rank"
+    )
+    assert plain.exceptAll(salted).count() == 0 and salted.exceptAll(plain).count() == 0
+
+
 def test_next_turn_triples(spark):
     df = spark.createDataFrame(
         [("c1", 0), ("c1", 1), ("c1", 2), ("c2", 0)], "conv_id string, turn_idx int"
