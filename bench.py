@@ -92,7 +92,7 @@ def _worker_extract(master: str, input_path: str, shuffle_partitions: int) -> No
     from anything2rdf_spark.session import get_spark
     from anything2rdf_spark.sources import synth
 
-    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "12"))
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "6"))
     spark = get_spark(master=master, app_name="a2r-bench-extract", shuffle_partitions=shuffle_partitions)
     base = spark.read.parquet(input_path)
     # replicate rows in-flight (distinct conv_ids) so per-record CPU work
@@ -225,7 +225,7 @@ def main():
             f"Pipeline input: synthetic transcripts, sf={sf} ({n_convs} conversations\n"
             "+ skewed conv_hot, seed 42), same parquet for every run. The scaling\n"
             "kernel replicates the input in-flight (explode x"
-            f"{os.environ.get('SPARK_GRAFT_BENCH_REPLICATE', '12')}, distinct conv_ids)\n"
+            f"{os.environ.get('SPARK_GRAFT_BENCH_REPLICATE', '6')}, distinct conv_ids)\n"
             "so CPU work dominates scan IO and per-job fixed cost. Each Spark run\n"
             "gets its own OS process (in-process SparkContext restarts leak dead\n"
             f"Python accumulator servers); scaling runs interleaved x{repeats}, best\n"
