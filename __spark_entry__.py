@@ -14,9 +14,15 @@ everything else is integer/string math.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the package queries import anything2rdf_spark; make sure the repo root is
+# importable regardless of the harness's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NS = "http://example.org/a2r/"
 
