@@ -23,6 +23,26 @@ def normalized_text(col="text"):
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def hash64(col, seed: int = 0, mode: str = "xxhash64"):
+    """Seeded 64-bit hash of a string column under two interchangeable
+    strategies:
+
+    * ``xxhash64`` — the fast JVM path (default; what a production run uses).
+    * ``md5_60``  — a 60-bit hash from the md5 hex prefix, reproducible in
+      any engine with md5 (DuckDB: ``('0x' || substr(md5(seed||':'||s),1,15))
+      ::BIGINT``) — used by the driver's oracle-checked queries so Spark and
+      DuckDB compute identical signatures. Always non-negative (< 2^60).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "xxhash64":
+        return F.xxhash64(c, F.lit(seed))
+    if mode == "md5_60":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: returns (doc_id, content_hash,
     canonical_id, is_dup). One shuffle (the window on content_hash)."""
@@ -50,15 +70,15 @@ def shingles(col, n: int = 5):
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 32):
-    """MinHash signature: sig[i] = min over shingles of xxhash64(s, seed=i).
+def minhash_signature(shingle_col, num_hashes: int = 32, hash_mode: str = "xxhash64"):
+    """MinHash signature: sig[i] = min over shingles of hash64(s, seed=i).
     Returns array<bigint> of length num_hashes; empty shingle set → nulls."""
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
     def one(seed: int):
         # closure, NOT a default lambda arg: pyspark binds extra lambda
         # params to the array-index variable, silently breaking the seed
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+        return F.array_min(F.transform(sh, lambda s: hash64(s, seed, hash_mode)))
 
     return F.array(*[one(i) for i in range(num_hashes)])
 
@@ -70,15 +90,18 @@ def minhash_lsh_candidates(
     shingle_n: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (a < b), deduplicated across
     bands. rows_per_band = num_hashes // bands; two docs are candidates when
     any band's signature slice matches exactly — the classic banding scheme
-    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3)."""
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3). The band
+    bucket key is the slice itself (joined as a string), not a re-hash —
+    no false candidates from bucket collisions, and engine-portable."""
     r = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes, hash_mode).alias("sig"),
     )
     banded = sig.select(
         "id",
@@ -87,8 +110,8 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                        F.concat_ws(
+                            ",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -117,17 +140,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via shared-shingle self-join — the
     verification step behind MinHash candidates (or standalone at moderate
-    scale). Returns (a, b, jaccard) with a < b and jaccard ≥ threshold."""
+    scale). Returns (a, b, jaccard) with a < b and jaccard ≥ threshold.
+
+    ``max_df`` caps shingle document frequency before the self-join: one
+    stop-shingle shared by d docs creates d² join rows (10⁶ docs → 10¹²
+    rows), so drop shingles with df > max_df from the *join* while keeping
+    them in the per-doc sizes — the standard DF-cap that bounds the
+    candidate blowup at the cost of slightly under-estimating |∩| (hence
+    jaccard) for pairs sharing only ubiquitous shingles. ``None`` keeps the
+    exact semantics (safe only at moderate scale / post-MinHash)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s")
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    joinable = sh
+    if max_df is not None:
+        hot = sh.groupBy("s").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_df)
+        joinable = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
     inter = (
-        sh.alias("l")
-        .join(sh.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
+        joinable.alias("l")
+        .join(joinable.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
         .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -140,11 +176,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text_col, token_regex: str = r"\s+"):
-    """64-bit SimHash of a text column, all-native: per-token xxhash64, each
-    bit votes ±1, signature bit = majority sign. Returns bigint."""
+def simhash64(text_col, token_regex: str = r"\s+", hash_mode: str = "xxhash64"):
+    """64-bit SimHash of a text column, all-native: per-token 64-bit hash,
+    each bit votes ±1, signature bit = majority sign. Returns bigint.
+    ``hash_mode='md5_60'`` gives an engine-portable 60-bit variant (bits
+    60-63 always 0) for oracle-checked runs."""
     toks = F.filter(F.split(normalized_text(text_col), token_regex), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: hash64(t, 0, hash_mode))
 
     def vote(b: int):
         mask = 1 << b if b < 63 else -(2**63)
@@ -162,16 +200,26 @@ def simhash64(text_col, token_regex: str = r"\s+"):
     return sig
 
 
-def simhash_hamming_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
-    blocks: int = 4,
+def _block_bounds(blocks: int) -> list[int]:
+    """Bit boundaries partitioning ALL 64 bits into ``blocks`` near-equal
+    pieces (block i covers [bounds[i], bounds[i+1]))."""
+    return [64 * i // blocks for i in range(blocks + 1)]
+
+
+def hamming_candidates_from_sigs(
+    sig: DataFrame, max_hamming: int = 3, blocks: int = 4
 ) -> DataFrame:
-    """SimHash near-dup candidates: block the 64-bit signature into
-    ``blocks`` 16-bit pieces; by pigeonhole, any pair within ``max_hamming``
-    ≤ blocks-1 shares at least one exact block → equi-join per block, then
-    exact Hamming filter via bit_count(xor)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
-    width = 64 // blocks
+    """Blocked Hamming join over an (id, sig) relation.
+
+    Pigeonhole guarantee: the blocks PARTITION all 64 bits, so any pair with
+    Hamming distance ≤ blocks-1 leaves at least one block untouched → shares
+    an exact block key → found by the equi-join. ``blocks`` is auto-raised
+    to ``max_hamming + 1`` when the caller's value would break that
+    precondition (the round-1 default of 4 blocks with max_hamming=8
+    silently dropped true pairs at distance 4-8)."""
+    if blocks < max_hamming + 1:
+        blocks = max_hamming + 1
+    bounds = _block_bounds(blocks)
     blocked = sig.select(
         "id",
         "sig",
@@ -180,8 +228,8 @@ def simhash_hamming_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("sig", i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftrightunsigned("sig", bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("key"),
                     )
                     for i in range(blocks)
@@ -189,7 +237,7 @@ def simhash_hamming_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.blk", "bb.key")
-    pairs = (
+    return (
         blocked.alias("l")
         .join(
             blocked.alias("r"),
@@ -205,4 +253,17 @@ def simhash_hamming_candidates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs
+
+
+def simhash_hamming_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
+    blocks: int = 4, hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-dup candidates: block the 64-bit signature; by
+    pigeonhole (blocks partition the bits and are auto-raised to
+    max_hamming+1), any pair within ``max_hamming`` shares at least one
+    exact block → equi-join per block, then exact Hamming filter via
+    bit_count(xor). The blocking is a pure optimization: the returned row
+    set is exactly {pairs with hamming ≤ max_hamming}."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col, hash_mode=hash_mode).alias("sig"))
+    return hamming_candidates_from_sigs(sig, max_hamming=max_hamming, blocks=blocks)

