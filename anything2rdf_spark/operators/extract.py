@@ -88,7 +88,7 @@ def quarantined(df: DataFrame) -> DataFrame:
     return df.filter(F.col("role").isNull() | F.col("text").isNull())
 
 
-def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces: list[str] | None = None) -> DataFrame:
+def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces=None) -> DataFrame:
     """Transcripts → candidate triples (pre-linking).
 
     Emits per admissible turn (OBC semantics, OBCXML2RDF.scala:179-213):
@@ -140,6 +140,7 @@ def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces: l
         .select(*TRIPLE_COLS)
     )
 
+    # truthiness: an empty surface list skips the scan; a Broadcast is truthy
     if dictionary_surfaces:
         scan = TX.mention_scan_udf(dictionary_surfaces)
         mention_triples = (
@@ -159,10 +160,11 @@ def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces: l
     return base
 
 
-def extract_mentions(transcripts: DataFrame, dictionary_surfaces: list[str]) -> DataFrame:
+def extract_mentions(transcripts: DataFrame, dictionary_surfaces) -> DataFrame:
     """Transcripts → mention rows (conv_id, turn_idx, surface, norm_surface)
     for the linking stage — the turn-level extractor extension point
-    (SURVEY §2.12)."""
+    (SURVEY §2.12). ``dictionary_surfaces``: list[str] or a Broadcast of one
+    (see functions.text.mention_scan_udf)."""
     scan = TX.mention_scan_udf(dictionary_surfaces)
     return (
         admissible(transcripts)

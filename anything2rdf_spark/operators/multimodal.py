@@ -63,6 +63,17 @@ def fake_decoder(payload: bytes, kind: str) -> list[float]:
     return [b / 255.0 for b in d[:8]]
 
 
+def portable_decoder(payload: bytes, kind: str) -> list[float]:
+    """fake_decoder's engine-portable twin: hashes the payload's lowercase
+    hex encoding (a VARCHAR any SQL engine can sha256) instead of the raw
+    bytes — used by the driver's oracle-checked query so DuckDB can
+    recompute the exact feature vector."""
+    if payload is None:
+        return []
+    d = hashlib.sha256(payload.hex().encode("ascii")).digest()
+    return [b / 255.0 for b in d[:8]]
+
+
 def extract_features(df: DataFrame, decoder=fake_decoder) -> DataFrame:
     """Binary payloads → fixed-size feature vectors via Arrow-batched
     ``mapInPandas``. Column pruning matters: only (media_id, kind, payload)

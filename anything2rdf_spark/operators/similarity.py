@@ -40,10 +40,13 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    order_round: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast queries, one narrow pass over the
     corpus, per-query top-k via window. Returns
-    (query_id, vec_id, cosine_sim, rank)."""
+    (query_id, vec_id, cosine_sim, rank). ``order_round`` ranks on the
+    rounded similarity (ties broken by id) — makes the rank reproducible
+    across engines/summation orders for verification runs."""
     from pyspark.sql import Window as W
 
     q = queries.select(
@@ -57,7 +60,8 @@ def cosine_topk(
         id_col,
         (_dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cn") * F.col("_qn"))).alias("cosine_sim"),
     )
-    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    key = F.col("cosine_sim") if order_round is None else F.round("cosine_sim", order_round)
+    w = W.partitionBy(query_id_col).orderBy(F.desc(key), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -69,6 +73,35 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     run, any parallelism)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def grid_planes(dim: int, n_planes: int = 8) -> list[list[int]]:
+    """Deterministic small-integer hyperplanes from a closed-form grid:
+    ``w[j][d] = ((1 + 31*j + 17*d) % 7) - 3`` ∈ {-3..3}. Engine-portable —
+    any SQL engine can regenerate them — and integer, so the signature
+    computed over quantized vectors is EXACT (no float-associativity drift
+    between engines). Used by the driver's oracle-checked LSH queries;
+    production runs keep the gaussian ``hyperplanes``."""
+    return [[((1 + 31 * j + 17 * d) % 7) - 3 for d in range(dim)] for j in range(n_planes)]
+
+
+def lsh_signature_grid(vec_col, dim: int, n_planes: int = 8, scale: int = 1000):
+    """Sign-bit signature over grid_planes with integer-exact arithmetic:
+    the vector is quantized to ``round(x*scale)`` longs, each plane dot
+    product is an integer fold (order-independent), sign → bit. Bit-for-bit
+    reproducible in any engine."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = F.transform(v, lambda x: F.round(x * scale, 0).cast("long"))
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(grid_planes(dim, n_planes)):
+        warr = F.array(*[F.lit(w).cast("long") for w in plane])
+        dot = F.aggregate(
+            F.zip_with(q, warr, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0).cast("long"))
+    return sig
 
 
 def lsh_signature(vec_col, planes: list[list[float]]):
@@ -92,20 +125,30 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    signature: str = "gauss",
+    order_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane signature,
     score only within the shared bucket, exact re-rank. Recall < 1 by
-    construction; raise bucket recall with fewer planes or multi-probe."""
+    construction; raise bucket recall with fewer planes or multi-probe.
+
+    Pass ``dim`` explicitly in pipelines (the ``None`` fallback runs a
+    driver-side ``first()`` job). ``signature='grid'`` uses the
+    engine-portable integer signature (lsh_signature_grid)."""
     from pyspark.sql import Window as W
 
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    sig_expr = (
+        lsh_signature_grid(vec_col, dim, n_planes)
+        if signature == "grid"
+        else lsh_signature(vec_col, hyperplanes(dim, n_planes, seed))
+    )
     csig = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cvec"), lsh_signature(vec_col, planes).alias("_b")
+        F.col(id_col), F.col(vec_col).alias("_cvec"), sig_expr.alias("_b")
     )
     qsig = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), lsh_signature(vec_col, planes).alias("_b")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), sig_expr.alias("_b")
     )
     scored = csig.join(F.broadcast(qsig), "_b").select(
         query_id_col,
@@ -115,7 +158,8 @@ def lsh_topk(
             / (_norm(F.col("_cvec")) * _norm(F.col("_qvec")))
         ).alias("cosine_sim"),
     )
-    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    key = F.col("cosine_sim") if order_round is None else F.round("cosine_sim", order_round)
+    w = W.partitionBy(query_id_col).orderBy(F.desc(key), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -126,14 +170,21 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
+    signature: str = "gauss",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
     LSH-bucketed self-join — candidates only within a bucket, then exact
-    cosine filter."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    cosine filter. Pass ``dim`` explicitly in pipelines."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig_expr = (
+        lsh_signature_grid(vec_col, dim, n_planes)
+        if signature == "grid"
+        else lsh_signature(vec_col, hyperplanes(dim, n_planes, seed))
+    )
     sig = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), lsh_signature(vec_col, planes).alias("b")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig_expr.alias("b")
     )
     return (
         sig.alias("l")

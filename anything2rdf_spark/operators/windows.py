@@ -88,8 +88,11 @@ def next_turn_triples(df: DataFrame) -> DataFrame:
 def path_prefix_hierarchy(df: DataFrame, col: str, sep: str = "_") -> DataFrame:
     """W3: path-prefix hierarchy — ``a_b_c`` → broader chain a ← a_b ← a_b_c
     (procopecsv2rdf.scala:172-223 foldLeft). Returns (narrower, broader)
-    rows via posexplode + prefix reconstruction, all native exprs."""
-    parts = F.split(F.col(col), sep)
+    rows via posexplode + prefix reconstruction, all native exprs.
+    ``sep`` is a literal separator (regex-escaped for the split)."""
+    import re as _re
+
+    parts = F.split(F.col(col), _re.escape(sep))
     n = F.size(parts)
     # prefix i (1-based, ≥2 parts) → (prefix_i, prefix_{i-1})
     pairs = F.transform(
@@ -142,7 +145,10 @@ def sessionize(
     from the previous event exceeds ``gap_minutes`` (lag + cumsum pattern).
     Adds ``session_id`` = ``<key>#<n>``."""
     w = W.partitionBy(key).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # via timestamp: TIMESTAMP_NTZ has no direct long cast; any session-tz
+    # offset is constant and cancels in the gap subtraction
+    tsec = F.col(ts_col).cast("timestamp").cast("long")
+    gap = tsec - F.lag(tsec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     sess_n = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
     return df.withColumn("session_id", F.concat(F.col(key), F.lit("#"), sess_n.cast("string")))

@@ -33,7 +33,7 @@ from ..operators import extract as EX
 from ..operators import link as LK
 from ..operators import windows as WD
 from ..sources.catalog import Catalog
-from .lineage import LineageRegistry, new_run_id, partition_row_counts
+from .lineage import LineageRegistry, new_run_id
 
 STAGES = ["normalize", "extract", "link", "canonicalize", "materialize"]
 
@@ -55,13 +55,17 @@ class Pipeline:
             return
         t0 = time.time()
         outputs = compute()
+        pcounts: dict[int, int] = {}
         for tname, df in outputs.items():
             bc = (bucket_cols or {}).get(tname, "conv_id")
-            self.catalog.write(df, tname, bucket_col=bc)
-        # ONE metrics job: per-partition row counts of the primary output
-        # (read back from the checkpoint — also validates readability);
-        # rows_out = their sum. Secondary outputs are not re-counted.
-        pcounts = partition_row_counts(self.catalog.read(tables[0]))
+            # per-partition lineage counts ride the primary output's write
+            # job as df.observe metrics — NO read-back scan (at 100 TB a
+            # count-over-read-back is a full extra pass per stage)
+            counts = self.catalog.write(
+                df, tname, bucket_col=bc, collect_partition_counts=(tname == tables[0])
+            )
+            if tname == tables[0]:
+                pcounts = counts or {}
         rows_out = sum(pcounts.values())
         wall_ms = int((time.time() - t0) * 1000)
         self.registry.record(
@@ -105,6 +109,11 @@ class Pipeline:
                 r["a"]
                 for r in dictionary.select(F.explode("alt_labels").alias("a")).collect()
             ]
+        # one broadcast per run: the surface list ships once per executor
+        # (not once per task via closure); the scanner (regex below
+        # AC_THRESHOLD surfaces, Aho-Corasick automaton above) is built once
+        # per executor process from it
+        surfaces_bc = self.spark.sparkContext.broadcast(list(surfaces))
 
         def extract():
             norm = cat.read("transcripts_norm")
@@ -114,7 +123,7 @@ class Pipeline:
             triples = triples.unionByName(WD.next_turn_triples(norm))
             return {
                 "triples_candidate": triples,
-                "mentions": EX.extract_mentions(norm, surfaces),
+                "mentions": EX.extract_mentions(norm, surfaces_bc),
             }
 
         self._stage(run_id, "extract", fingerprint, force, extract,

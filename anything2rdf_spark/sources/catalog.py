@@ -43,17 +43,44 @@ class Catalog:
         return os.path.join(self.warehouse, table)
 
     def exists(self, table: str) -> bool:
+        """A checkpoint is valid only with BOTH the parquet commit marker
+        (_SUCCESS) and the schema sidecar (written after the commit): a
+        crashed overwrite re-run leaves at most one of them, so resume
+        re-computes instead of consuming truncated stage output."""
         p = self.path(table)
-        return os.path.isdir(p) and (
-            os.path.exists(os.path.join(p, "_SUCCESS"))
-            or any(n.startswith("pbucket=") for n in os.listdir(p))
+        return (
+            os.path.isdir(p)
+            and os.path.exists(os.path.join(p, "_SUCCESS"))
+            and os.path.exists(os.path.join(p, "_schema.json"))
         )
 
-    def write(self, df: DataFrame, table: str, bucket_col: str | None = "conv_id") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str | None = "conv_id",
+        collect_partition_counts: bool = False,
+    ) -> dict[int, int] | None:
+        """Write a checkpoint table. With ``collect_partition_counts`` the
+        per-bucket row counts ride along as ``df.observe`` metrics on the
+        SAME write job (no read-back scan of the checkpoint — at 100 TB a
+        count-over-read-back is a full extra pass per stage)."""
+        from pyspark.sql import Observation
+
+        obs = None
         if bucket_col and bucket_col in df.columns:
             out = df.withColumn(
                 "pbucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets))
             )
+            if collect_partition_counts:
+                obs = Observation()
+                out = out.observe(
+                    obs,
+                    *[
+                        F.count_if(F.col("pbucket") == i).alias(f"b{i}")
+                        for i in range(self.n_buckets)
+                    ],
+                )
             (
                 # hash write-distribution (Iceberg write.distribution-mode=hash):
                 # co-locate each bucket in one task so the layout is
@@ -65,12 +92,20 @@ class Catalog:
             )
         else:
             out = df
-            df.write.mode("overwrite").parquet(self.path(table))
+            if collect_partition_counts:
+                obs = Observation()
+                out = out.observe(obs, F.count(F.lit(1)).alias("b0"))
+            out.write.mode("overwrite").parquet(self.path(table))
         # schema sidecar: empty tables write no parquet footers, so the
         # reader needs the schema from here (Iceberg would carry it in
-        # table metadata)
+        # table metadata). Written AFTER the parquet commit — exists()
+        # requires both, closing the partial-overwrite resume hole.
         with open(os.path.join(self.path(table), "_schema.json"), "w") as f:
-            f.write(out.schema.json())
+            f.write(df.schema.json())
+        if obs is not None:
+            vals = obs.get
+            return {int(k[1:]): v for k, v in vals.items() if v}
+        return None
 
     def read(self, table: str) -> DataFrame:
         from pyspark.sql import types as T

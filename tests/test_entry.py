@@ -20,7 +20,9 @@ def test_contract_shape():
 def test_entry_runs(spark):
     df = E.entry(spark)
     assert df.count() > 0
-    assert df.columns == ["subj", "pred", "obj_iri", "obj_lit", "obj_dtype"]
+    from anything2rdf_spark.schemas import TRIPLE_COLS
+
+    assert df.columns == TRIPLE_COLS
 
 
 @pytest.mark.parametrize(

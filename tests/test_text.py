@@ -83,3 +83,64 @@ def test_extract_embedded_ids(spark):
 def test_zero_pad_id(spark):
     df = spark.createDataFrame([(123,)], "i long")
     assert df.select(TX.zero_pad_id("i").alias("v")).collect()[0]["v"] == "00000123"
+
+
+def _py_regex_scan(surfaces, text):
+    import re as _re
+
+    ordered = sorted(set(surfaces), key=len, reverse=True)
+    pat = _re.compile(r"\b(" + "|".join(_re.escape(s) for s in ordered) + r")\b", _re.IGNORECASE)
+    canon = {s.lower(): s for s in ordered}
+    return [canon[m.lower()] for m in pat.findall(text or "")]
+
+
+def test_aho_corasick_equals_regex_scan():
+    """The AC path must reproduce the alternation regex's leftmost /
+    longest-first / non-overlapping / word-boundary semantics exactly."""
+    import random
+
+    from anything2rdf_spark.functions.text import AhoCorasick, _ac_scan_text
+
+    surfaces = [
+        "Ada Lovelace", "Ada", "Lovelace", "Charles Babbage", "ab", "abab",
+        "error", "err", "CERN", "Tim Berners-Lee", "a b", "Zelda Fitzroy",
+    ]
+    ordered = sorted(set(surfaces), key=len, reverse=True)
+    canon = {s.lower(): s for s in ordered}
+    ac = AhoCorasick(sorted({s.lower() for s in ordered}))
+    rng = random.Random(7)
+    words = ["ada", "lovelace", "ada lovelace", "abab", "ab", "x", "err",
+             "error", "cern", "the", "err,", "ada_", "tim berners-lee", "a b"]
+    cases = ["", "abab", "ab ab", "xabab", "Ada Lovelace met ada", "err error err"]
+    cases += [" ".join(rng.choices(words, k=rng.randint(1, 12))) for _ in range(300)]
+    cases += ["".join(rng.choices(["ab", "a", "b", " ", ",", "_"], k=rng.randint(1, 20))) for _ in range(300)]
+    for text in cases:
+        assert _ac_scan_text(text, ac, canon) == _py_regex_scan(surfaces, text), repr(text)
+
+
+def test_mention_scan_large_dictionary(spark):
+    """10⁵-surface dictionary: the AC path engages (above AC_THRESHOLD) and
+    finds the planted mentions — the single-alternation-regex path cannot
+    serve dictionaries of this size (SURVEY §7.2 hard-part; VERDICT r1 #5)."""
+    surfaces = [f"entity{i:05d} name{i % 97}" for i in range(100_000)] + ["Ada Lovelace"]
+    scan = TX.mention_scan_udf(surfaces)
+    df = spark.createDataFrame(
+        [
+            ("t1", "saw entity00042 name42 and Ada Lovelace today"),
+            ("t2", "no mentions at all"),
+            ("t3", "entity09999 name% is cut but entity09999 name8 hits"),
+        ],
+        "id string, text string",
+    )
+    got = {r["id"]: r["m"] for r in df.select("id", scan("text").alias("m")).collect()}
+    assert got["t1"] == ["entity00042 name42", "Ada Lovelace"]
+    assert got["t2"] == []
+    assert got["t3"] == ["entity09999 name8"]
+
+
+def test_mention_scan_broadcast_surfaces(spark):
+    bc = spark.sparkContext.broadcast(["Ada Lovelace", "Ada", "CERN"])
+    scan = TX.mention_scan_udf(bc)
+    df = spark.createDataFrame([("Ada Lovelace visited CERN with ada",)], "text string")
+    (row,) = df.select(scan("text").alias("m")).collect()
+    assert row["m"] == ["Ada Lovelace", "CERN", "Ada"]
