@@ -30,6 +30,15 @@ SKOS_PREF_LABEL = "http://www.w3.org/2004/02/skos/core#prefLabel"
 SKOS_ALT_LABEL = "http://www.w3.org/2004/02/skos/core#altLabel"
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 OWL_INVERSEOF = "http://www.w3.org/2002/07/owl#inverseOf"
+# CIDOC-CRM time-span vocabulary (public standard; the reference's 4-point
+# time-span properties, CIDOC.scala:9,61,101,233-236)
+CIDOC_NS = "http://www.cidoc-crm.org/cidoc-crm/"
+CIDOC_TIMESPAN = CIDOC_NS + "E52_Time-Span"
+CIDOC_HAS_TIMESPAN = CIDOC_NS + "P4_has_time-span"
+CIDOC_BOB = CIDOC_NS + "P82a_begin_of_the_begin"
+CIDOC_EOB = CIDOC_NS + "P81a_end_of_the_begin"
+CIDOC_BOE = CIDOC_NS + "P81b_begin_of_the_end"
+CIDOC_EOE = CIDOC_NS + "P82b_end_of_the_end"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 XSD_INTEGER = XSD + "integer"
 XSD_DECIMAL = XSD + "decimal"

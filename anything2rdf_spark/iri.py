@@ -111,25 +111,29 @@ def mint_hashed(kind: str, *keys: Column | str, ns: str = NS) -> Column:
     return F.concat(F.lit(ns + kind + "_"), F.sha2(key, 256).substr(1, 32))
 
 
-def turn_iri(conv_id: Column | str = "conv_id", turn_idx: Column | str = "turn_idx") -> Column:
+def turn_iri(
+    conv_id: Column | str = "conv_id", turn_idx: Column | str = "turn_idx", ns: str = NS
+) -> Column:
     """Stable turn IRI keyed on (conv_id, turn_idx) — the BASELINE.json
     mandate replacing the reference's speechId counter (OBCXML2RDF.scala:170,
     191, 201)."""
-    return mint("turn", conv_id, turn_idx)
+    return mint("turn", conv_id, turn_idx, ns=ns)
 
 
-def conv_iri(conv_id: Column | str = "conv_id") -> Column:
-    return mint("conversation", conv_id)
+def conv_iri(conv_id: Column | str = "conv_id", ns: str = NS) -> Column:
+    return mint("conversation", conv_id, ns=ns)
 
 
-def speaker_iri(conv_id: Column | str = "conv_id", role: Column | str = "role") -> Column:
+def speaker_iri(
+    conv_id: Column | str = "conv_id", role: Column | str = "role", ns: str = NS
+) -> Column:
     """Speaker entity keyed on (conv_id, role) — the analog of
     ``speaker_<id>`` (OBCXML2RDF.scala:192) with the transcript's natural key."""
-    return mint("speaker", conv_id, role)
+    return mint("speaker", conv_id, role, ns=ns)
 
 
-def entity_iri(entity_id: Column | str = "entity_id") -> Column:
-    return mint("entity", entity_id)
+def entity_iri(entity_id: Column | str = "entity_id", ns: str = NS) -> Column:
+    return mint("entity", entity_id, ns=ns)
 
 
 def schema_class_iri(label: Column | str) -> Column:

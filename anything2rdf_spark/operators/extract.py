@@ -100,9 +100,9 @@ def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces=No
     dictionary is supplied — mentionsSurface triples from the Arrow-batched
     scan (andcsv2rdf.scala:43-47 analog).
     """
-    t = iri.turn_iri()
-    c = iri.conv_iri()
-    sp = iri.speaker_iri()
+    t = iri.turn_iri(ns=ns)
+    c = iri.conv_iri(ns=ns)
+    sp = iri.speaker_iri(ns=ns)
     nonblank = F.trim(F.col("text")) != ""
     role_iri = iri.mint("role", "role", ns=ns)
     tool_iri = iri.mint("tool", "tool", ns=ns)
@@ -146,7 +146,7 @@ def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces=No
         mention_triples = (
             adm.select("conv_id", "turn_idx", F.explode(scan(F.col("text"))).alias("surface"))
             .select(
-                iri.turn_iri().alias("subj"),
+                iri.turn_iri(ns=ns).alias("subj"),
                 F.lit(P_MENTIONS_SURFACE).alias("pred"),
                 F.lit(None).cast("string").alias("obj_iri"),
                 F.col("surface").alias("obj_lit"),

@@ -91,7 +91,7 @@ def link_mentions(
         "surface",
         "norm_surface",
         F.coalesce(
-            iri.entity_iri("entity_id"),
+            iri.entity_iri("entity_id", ns=ns),
             iri.mint("entity_new", "norm_surface", ns=ns),
         ).alias("entity_iri"),
         F.col("entity_id").isNotNull().alias("matched"),
@@ -108,10 +108,10 @@ def new_entities(linked: DataFrame) -> DataFrame:
     )
 
 
-def mention_triples(linked: DataFrame) -> DataFrame:
+def mention_triples(linked: DataFrame, ns: str = NS) -> DataFrame:
     """Linked mentions → ``turn —mentions→ entity`` triples (E8)."""
     return linked.select(
-        iri.turn_iri().alias("subj"),
+        iri.turn_iri(ns=ns).alias("subj"),
         F.lit(P_MENTIONS).alias("pred"),
         F.col("entity_iri").alias("obj_iri"),
         F.lit(None).cast("string").alias("obj_lit"),
@@ -126,7 +126,7 @@ def dictionary_triples(dictionary: DataFrame, ns: str = NS) -> DataFrame:
     """Dictionary → entity declaration triples: rdf:type (kind class),
     skos:prefLabel (lang-tagged), skos:altLabel per synonym (E1/E5;
     label emission per Anything2RDF.scala:126-144)."""
-    e = iri.entity_iri()
+    e = iri.entity_iri(ns=ns)
     kind_class = F.concat(F.lit(SCHEMA_NS), iri.camel_case("kind"))
     head = [
         _t(e, RDF_TYPE, obj_iri=F.lit(C_ENTITY)),

@@ -31,18 +31,51 @@ from .extract import _t
 
 P_CONFIDENCE = SCHEMA_NS + "confidence"
 P_CERTAINTY = SCHEMA_NS + "descriptiveCertainty"
-P_TIMESPAN = SCHEMA_NS + "hasTimeSpan"
-P_BOB = SCHEMA_NS + "beginOfTheBegin"
-P_EOB = SCHEMA_NS + "endOfTheBegin"
-P_BOE = SCHEMA_NS + "beginOfTheEnd"
-P_EOE = SCHEMA_NS + "endOfTheEnd"
-C_TIMESPAN = SCHEMA_NS + "TimeSpan"
+
+# time-span vocabulary table: 'engine' keeps the engine-local terms; 'cidoc'
+# emits the reference's real CIDOC-CRM IRIs (CIDOC.scala:61,101,233-236)
+from .. import (  # noqa: E402
+    CIDOC_BOB,
+    CIDOC_BOE,
+    CIDOC_EOB,
+    CIDOC_EOE,
+    CIDOC_HAS_TIMESPAN,
+    CIDOC_TIMESPAN,
+)
+
+TIMESPAN_VOCAB = {
+    "engine": {
+        "has_timespan": SCHEMA_NS + "hasTimeSpan",
+        "timespan_class": SCHEMA_NS + "TimeSpan",
+        "bob": SCHEMA_NS + "beginOfTheBegin",
+        "eob": SCHEMA_NS + "endOfTheBegin",
+        "boe": SCHEMA_NS + "beginOfTheEnd",
+        "eoe": SCHEMA_NS + "endOfTheEnd",
+    },
+    "cidoc": {
+        "has_timespan": CIDOC_HAS_TIMESPAN,
+        "timespan_class": CIDOC_TIMESPAN,
+        "bob": CIDOC_BOB,
+        "eob": CIDOC_EOB,
+        "boe": CIDOC_BOE,
+        "eoe": CIDOC_EOE,
+    },
+}
+
+# engine-local aliases kept for importers
+P_TIMESPAN = TIMESPAN_VOCAB["engine"]["has_timespan"]
+P_BOB = TIMESPAN_VOCAB["engine"]["bob"]
+P_EOB = TIMESPAN_VOCAB["engine"]["eob"]
+P_BOE = TIMESPAN_VOCAB["engine"]["boe"]
+P_EOE = TIMESPAN_VOCAB["engine"]["eoe"]
+C_TIMESPAN = TIMESPAN_VOCAB["engine"]["timespan_class"]
 
 
 def relationship_triples(
     rels: DataFrame,
     dictionary: DataFrame | None = None,
     ns: str = NS,
+    vocab: str = "engine",
 ) -> tuple[DataFrame, DataFrame]:
     """Relationships → (triples, quarantine).
 
@@ -54,7 +87,12 @@ def relationship_triples(
     subject/predicate/object), confidence (xsd:integer) + descriptive
     certainty bucket (SDFBCSV2RDF.scala:169-174,353-366), and a 4-point
     time-span from the qualifier semantics (SDFBCSV2RDF.scala:53-78).
+
+    ``vocab='cidoc'`` emits the time-span under the reference's real
+    CIDOC-CRM IRIs (P4_has_time-span / E52_Time-Span / P82a / P81a / P81b /
+    P82b, CIDOC.scala:61,101,233-236) instead of the engine-local terms.
     """
+    V = TIMESPAN_VOCAB[vocab]
     if dictionary is not None:
         dict_ids = F.broadcast(dictionary.select(F.col("entity_id").alias("left_id")))
         valid = rels.join(dict_ids, "left_id", "left_semi")
@@ -92,12 +130,12 @@ def relationship_triples(
             obj_lit=DT.certainty_bucket("confidence"),
             guard=F.col("confidence").isNotNull() & DT.certainty_bucket("confidence").isNotNull(),
         ),
-        _t(stmt, P_TIMESPAN, obj_iri=ts_iri, guard=has_span),
-        _t(ts_iri, RDF_TYPE, obj_iri=F.lit(C_TIMESPAN), guard=has_span),
-        _t(ts_iri, P_BOB, obj_lit=bob, dtype=XSD_DATETIME, guard=bob.isNotNull()),
-        _t(ts_iri, P_EOB, obj_lit=eob, dtype=XSD_DATETIME, guard=eob.isNotNull()),
-        _t(ts_iri, P_BOE, obj_lit=boe, dtype=XSD_DATETIME, guard=boe.isNotNull()),
-        _t(ts_iri, P_EOE, obj_lit=eoe, dtype=XSD_DATETIME, guard=eoe.isNotNull()),
+        _t(stmt, V["has_timespan"], obj_iri=ts_iri, guard=has_span),
+        _t(ts_iri, RDF_TYPE, obj_iri=F.lit(V["timespan_class"]), guard=has_span),
+        _t(ts_iri, V["bob"], obj_lit=bob, dtype=XSD_DATETIME, guard=bob.isNotNull()),
+        _t(ts_iri, V["eob"], obj_lit=eob, dtype=XSD_DATETIME, guard=eob.isNotNull()),
+        _t(ts_iri, V["boe"], obj_lit=boe, dtype=XSD_DATETIME, guard=boe.isNotNull()),
+        _t(ts_iri, V["eoe"], obj_lit=eoe, dtype=XSD_DATETIME, guard=eoe.isNotNull()),
     ]
     # the plain edge + rdf:predicate need the *dynamic* predicate IRI (a
     # column), which _t's static pred can't carry → emit those two directly.

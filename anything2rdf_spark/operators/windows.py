@@ -62,19 +62,22 @@ def ordered_turns_skew_safe(df: DataFrame, bucket_size: int = 4096) -> DataFrame
     )
 
 
-def next_turn_triples(df: DataFrame) -> DataFrame:
+def next_turn_triples(df: DataFrame, ns: str | None = None) -> DataFrame:
     """W2: prev/next chaining — lag/lead edges between consecutive turns
     (the marriage/provenance neighbor links, grandtourjson2rdf.scala:113-135,
     schoenbergcsv2rdf.scala:162-164, as turn succession)."""
+    from .. import NS
+
+    ns = ns or NS
     w = W.partitionBy("conv_id").orderBy("turn_idx")
     nxt = F.lead("turn_idx").over(w)
     return (
         df.select("conv_id", "turn_idx", nxt.alias("next_idx"))
         .filter(F.col("next_idx").isNotNull())
         .select(
-            iri.turn_iri().alias("subj"),
+            iri.turn_iri(ns=ns).alias("subj"),
             F.lit(P_NEXT_TURN).alias("pred"),
-            iri.turn_iri("conv_id", "next_idx").alias("obj_iri"),
+            iri.turn_iri("conv_id", "next_idx", ns=ns).alias("obj_iri"),
             F.lit(None).cast("string").alias("obj_lit"),
             F.lit(None).cast("string").alias("obj_lang"),
             F.lit(None).cast("string").alias("obj_dtype"),

@@ -120,7 +120,7 @@ class Pipeline:
             triples = EX.extract_triples(norm, ns=self.ns)
             if code_tables is not None:
                 triples = triples.unionByName(EX.code_table_triples(code_tables, ns=self.ns))
-            triples = triples.unionByName(WD.next_turn_triples(norm))
+            triples = triples.unionByName(WD.next_turn_triples(norm, ns=self.ns))
             return {
                 "triples_candidate": triples,
                 "mentions": EX.extract_mentions(norm, surfaces_bc),
@@ -135,7 +135,7 @@ class Pipeline:
             linked = LK.link_mentions(mentions, dictionary, ns=self.ns)
             return {
                 "mentions_linked": linked,
-                "triples_mentions": LK.mention_triples(linked),
+                "triples_mentions": LK.mention_triples(linked, ns=self.ns),
                 "triples_dictionary": LK.dictionary_triples(dictionary, ns=self.ns),
                 "entities_new": LK.new_entities(linked),
             }

@@ -46,8 +46,18 @@ def csv_with_width_check(
 ) -> tuple[DataFrame, DataFrame]:
     """P4: column-count sanity check (schoenbergcsv2rdf.scala:133-134 warns
     on row width ≠ 50) — rows with the wrong width go to a quarantine
-    DataFrame instead of a log line. Returns (good, quarantine)."""
-    raw = spark.read.option("sep", sep).option("quote", quote).csv(path)
+    DataFrame instead of a log line. Returns (good, quarantine).
+
+    ``nullValue=\\u0000`` keeps legitimately-empty fields as '' (Spark's CSV
+    default maps them to null, which would wrongly quarantine any row with
+    an empty field); only genuinely missing trailing columns are null, so
+    the non-null count matches the reference's raw column count."""
+    raw = (
+        spark.read.option("sep", sep)
+        .option("quote", quote)
+        .option("nullValue", "\u0000")
+        .csv(path)
+    )
     width = F.size(F.array(*[F.col(c) for c in raw.columns])) - F.size(
         F.filter(F.array(*[F.col(c) for c in raw.columns]), lambda x: x.isNull())
     )
@@ -86,17 +96,28 @@ def marker_delimited(
 ) -> DataFrame:
     """S9: marker-delimited plaintext segmentation (ceectsv2rdf.scala:215-227):
     ``<L id>`` marker lines open a record, following lines are its body.
-    Returns (record_id, text). Sessionization via last-marker window (W5)."""
+    Returns (record_id, text). Sessionization via last-marker window (W5).
+
+    Line numbers come from ``wholetext`` + ``posexplode(split(...))`` — a
+    pure function of file content, deterministic under any partitioning
+    (the previous ``monotonically_increasing_id`` window was a
+    partition-order accident on multi-split files, VERDICT r1 #3). Marker
+    carry-forward is inherently sequential per file, so one-task-per-file
+    is the correct parallelism unit here."""
     from ..operators.windows import last_marker_propagation
 
-    lines = (
-        spark.read.text(path)
-        .withColumn("_file", F.input_file_name())
-        .withColumn(
-            "line_no", F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
-            )
-        )
+    whole = spark.read.option("wholetext", True).text(path).withColumn(
+        "_file", F.input_file_name()
+    )
+    arr = F.split(F.col("value"), "\n")
+    # a trailing newline yields one empty trailing element that line-mode
+    # spark.read.text would not produce — drop it for parity
+    arr = F.when(
+        (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, 1, F.size(arr) - 1),
+    ).otherwise(arr)
+    lines = whole.select(
+        "_file", F.posexplode(arr).alias("line_no", "value")
     )
     lines = lines.withColumn("marker", F.regexp_extract("value", marker_regex, 1))
     lines = lines.withColumn("marker", F.when(F.col("marker") == "", None).otherwise(F.col("marker")))
@@ -177,10 +198,135 @@ def xsd_enumeration(spark: SparkSession, payload: str) -> DataFrame:
     return spark.createDataFrame(rows, "code string, lang string, label string")
 
 
-def marc_records_stub(spark: SparkSession, path: str) -> DataFrame:
-    """S7: MARC binary scan — requires a MARC codec (pymarc/marc4j), not in
-    this container. The Spark plumbing would be ``spark.read.format
-    ('binaryFile')`` + a mapInPandas decoder; stubbed per brief."""
-    raise NotImplementedError(
-        "MARC decoding needs pymarc; plug a decoder into binaryFile + mapInPandas"
+# --- S7: MARC binary scan — stdlib ISO-2709 parser (no pymarc needed) ------
+
+_MARC_FT = 0x1E  # field terminator
+_MARC_RT = 0x1D  # record terminator
+_MARC_SF = 0x1F  # subfield delimiter
+
+
+def parse_marc_bytes(blob: bytes) -> list[dict]:
+    """Parse a concatenation of ISO-2709 MARC records into flat
+    (rec_idx, tag, ind1, ind2, code, value) rows — the field/subfield access
+    pattern of HelmetMARC2ISBNRDF.scala:53-106 (leader, directory, control
+    fields raw, data fields as indicator pair + $-coded subfields).
+    Malformed records are skipped, not fatal (the reference warns)."""
+    rows: list[dict] = []
+    pos, rec_idx = 0, 0
+    n = len(blob)
+    while pos < n:
+        if n - pos < 24:
+            break
+        leader = blob[pos : pos + 24]
+        try:
+            rec_len = int(leader[0:5])
+            base = int(leader[12:17])
+        except ValueError:
+            break
+        rec = blob[pos : pos + rec_len]
+        if len(rec) < rec_len:
+            break
+        directory = rec[24 : base - 1]  # base-1 = directory's field terminator
+        for off in range(0, len(directory) - 11, 12):
+            entry = directory[off : off + 12]
+            try:
+                tag = entry[0:3].decode("ascii")
+                flen = int(entry[3:7])
+                fstart = int(entry[7:12])
+            except (ValueError, UnicodeDecodeError):
+                continue
+            field = rec[base + fstart : base + fstart + flen]
+            if field.endswith(bytes([_MARC_FT])):
+                field = field[:-1]
+            if tag < "010":  # control field: raw data, no indicators
+                rows.append(
+                    {"rec_idx": rec_idx, "tag": tag, "ind1": None, "ind2": None,
+                     "code": None, "value": field.decode("utf-8", "replace")}
+                )
+            else:
+                ind1 = chr(field[0]) if len(field) > 0 else " "
+                ind2 = chr(field[1]) if len(field) > 1 else " "
+                for sub in field[2:].split(bytes([_MARC_SF])):
+                    if not sub:
+                        continue
+                    rows.append(
+                        {"rec_idx": rec_idx, "tag": tag, "ind1": ind1, "ind2": ind2,
+                         "code": chr(sub[0]),
+                         "value": sub[1:].decode("utf-8", "replace")}
+                    )
+        rec_idx += 1
+        pos += rec_len
+        # tolerate a stray record terminator between records
+        while pos < n and blob[pos] == _MARC_RT:
+            pos += 1
+    return rows
+
+
+MARC_FIELD_SCHEMA = "file string, rec_idx int, tag string, ind1 string, ind2 string, code string, value string"
+
+
+def marc_records(spark: SparkSession, path: str) -> DataFrame:
+    """S7: MARC binary scan — ``binaryFile`` source + Arrow-batched
+    ``mapInPandas`` over the stdlib ISO-2709 parser. One task per file;
+    at scale MARC dumps ship as many files, so parallelism = file count
+    (same story as the reference's per-file iteration,
+    HelmetMARC2ISBNRDF.scala:53)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["file", "rec_idx", "tag", "ind1", "ind2", "code", "value"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_marc_bytes(bytes(content)):
+                    r["file"] = fpath
+                    rows.append(r)
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(run, MARC_FIELD_SCHEMA)
     )
+
+
+def marc_isbns(fields: DataFrame) -> DataFrame:
+    """HelmetMARC2ISBNRDF.scala:57-63 semantics: 020$a ISBN values,
+    punctuation-trimmed, deduplicated per record."""
+    from ..functions.text import punct_trim
+
+    return (
+        fields.filter((F.col("tag") == "020") & (F.col("code") == "a"))
+        .select("file", "rec_idx", punct_trim("value").alias("isbn"))
+        .filter(F.col("isbn") != "")
+        .distinct()
+    )
+
+
+def build_marc_record(fields: list[tuple]) -> bytes:
+    """Serialize one ISO-2709 record (test fixture / round-trip helper).
+    ``fields``: (tag, data) for control fields or
+    (tag, ind1, ind2, [(code, value), ...]) for data fields."""
+    body = bytearray()
+    directory = bytearray()
+    for f in fields:
+        start = len(body)
+        if len(f) == 2:
+            payload = f[1].encode("utf-8") + bytes([_MARC_FT])
+        else:
+            tag, ind1, ind2, subs = f
+            payload = (ind1 + ind2).encode("ascii")
+            for code, val in subs:
+                payload += bytes([_MARC_SF]) + code.encode("ascii") + val.encode("utf-8")
+            payload += bytes([_MARC_FT])
+        body += payload
+        directory += f"{f[0]:<3}{len(payload):04d}{start:05d}".encode("ascii")
+    directory += bytes([_MARC_FT])
+    base = 24 + len(directory)
+    rec_len = base + len(body) + 1  # +1 record terminator
+    leader = f"{rec_len:05d}nam a22{base:05d} a 4500".encode("ascii")[:24].ljust(24, b" ")
+    return bytes(leader) + bytes(directory) + bytes(body) + bytes([_MARC_RT])

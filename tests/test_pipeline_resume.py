@@ -94,3 +94,34 @@ def test_lineage_metrics_recorded(spark, tmp_path, inputs):
     # stage-level rows carry wall_ms and rows_out
     done = [r for r in rows if r["partition_id"] is None]
     assert all(r["wall_ms"] is not None and r["rows_out"] is not None for r in done)
+
+
+def test_pipeline_non_default_ns(spark, tmp_path, inputs):
+    """ADVICE r1: a Pipeline built with a non-default ns must mint EVERY
+    entity IRI (turn/conversation/speaker/role/tool/entity/entity_new/
+    sameAs) under that ns — mixed-namespace mints silently broke
+    canonicalization's rewrite-map matching."""
+    from anything2rdf_spark import NS as DEFAULT_NS
+    from anything2rdf_spark import SCHEMA_NS
+
+    other = "http://other.example/kg/"
+    p = Pipeline(spark, str(tmp_path / "whns"), ns=other, n_buckets=4)
+    p.run(**inputs, fingerprint="fpns")
+    triples = p.triples()
+
+    def leaked(col):
+        # entity IRIs under the DEFAULT ns (SCHEMA_NS predicates/classes are
+        # the engine ontology and stay put by design)
+        return triples.filter(
+            F.col(col).startswith(DEFAULT_NS) & ~F.col(col).startswith(SCHEMA_NS)
+        ).count()
+
+    assert leaked("subj") == 0
+    assert leaked("obj_iri") == 0
+    assert triples.filter(F.col("subj").startswith(other)).count() > 0
+    # canonicalization actually rewrote mention targets into the custom ns
+    from anything2rdf_spark.operators.extract import P_MENTIONS
+
+    mentions = triples.filter(F.col("pred") == P_MENTIONS)
+    assert mentions.count() > 0
+    assert mentions.filter(~F.col("obj_iri").startswith(other)).count() == 0

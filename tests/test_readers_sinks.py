@@ -69,11 +69,52 @@ def test_xsd_enumeration(spark):
     assert ("B", None) in rows
 
 
-def test_marc_is_stubbed(spark):
-    import pytest
+def test_marc_iso2709_roundtrip(spark, tmp_path):
+    """S7: synthetic two-record MARC file → binaryFile + mapInPandas parse →
+    field/subfield rows and 020$a ISBN extraction (HelmetMARC2ISBNRDF
+    semantics), no MARC library needed."""
+    rec1 = RD.build_marc_record(
+        [
+            ("001", "rec-0001"),
+            ("020", " ", " ", [("a", "978-951-0-12345-6 :"), ("c", "EUR 20")]),
+            ("245", "1", "0", [("a", "Test title /"), ("b", "subtitle")]),
+        ]
+    )
+    rec2 = RD.build_marc_record(
+        [
+            ("001", "rec-0002"),
+            ("020", " ", " ", [("a", "(nid.)")]),
+            ("020", " ", " ", [("a", "0-521-43108-5")]),
+        ]
+    )
+    p = tmp_path / "test.mrc"
+    p.write_bytes(rec1 + rec2)
 
-    with pytest.raises(NotImplementedError):
-        RD.marc_records_stub(spark, "/nope")
+    fields = RD.marc_records(spark, str(p))
+    rows = fields.collect()
+    by_rec = {}
+    for r in rows:
+        by_rec.setdefault(r["rec_idx"], []).append(r)
+    ctrl = [r for r in by_rec[0] if r["tag"] == "001"]
+    assert ctrl[0]["value"] == "rec-0001" and ctrl[0]["code"] is None
+    t245 = {r["code"]: r["value"] for r in by_rec[0] if r["tag"] == "245"}
+    assert t245 == {"a": "Test title /", "b": "subtitle"}
+    assert [r["ind1"] for r in by_rec[0] if r["tag"] == "245"] == ["1", "1"]
+
+    isbns = {(r["rec_idx"], r["isbn"]) for r in RD.marc_isbns(fields).collect()}
+    # punctuation-trimmed: trailing " :" and surrounding parens stripped
+    assert (0, "978-951-0-12345-6") in isbns
+    assert (1, "nid") in isbns and (1, "0-521-43108-5") in isbns
+
+
+def test_marker_delimited_multifile_deterministic(spark, tmp_path):
+    """S9 ordering is a pure function of file content (posexplode line
+    numbers), including across several files in one scan."""
+    (tmp_path / "a.txt").write_text("<L A1>\nalpha\n<L A2>\nbeta\ngamma\n")
+    (tmp_path / "b.txt").write_text("<L B1>\ndelta\n")
+    df = RD.marker_delimited(spark, str(tmp_path / "*.txt"))
+    got = {r["record_id"]: r["text"] for r in df.collect()}
+    assert got == {"A1": "alpha", "A2": "beta\ngamma", "B1": "delta"}
 
 
 TRIPLES_ROWS = [

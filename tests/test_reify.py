@@ -81,3 +81,32 @@ def test_inverse_property_triples(spark):
     assert len(rows) == 2
     a, b = sorted(rows)
     assert a == (b[1], b[0])  # symmetric pair
+
+
+def test_relationship_triples_cidoc_vocab(spark):
+    """vocab='cidoc' emits the reference's real CIDOC-CRM time-span IRIs
+    (CIDOC.scala:61,101,233-236): P4_has_time-span, E52_Time-Span, and the
+    4-point P82a/P81a/P81b/P82b properties."""
+    from anything2rdf_spark import (
+        CIDOC_BOB,
+        CIDOC_BOE,
+        CIDOC_EOB,
+        CIDOC_EOE,
+        CIDOC_HAS_TIMESPAN,
+        CIDOC_TIMESPAN,
+    )
+
+    rels = spark.createDataFrame(
+        [("p001", "knows", "l002", 85, "1700", "1710", "IN")],
+        "left_id string, rel_type string, right_id string, confidence int, start_year string, end_year string, qualifier string",
+    )
+    triples, _ = RF.relationship_triples(rels, vocab="cidoc")
+    preds = {r["pred"] for r in triples.collect()}
+    assert {CIDOC_HAS_TIMESPAN, CIDOC_BOB, CIDOC_EOB, CIDOC_BOE, CIDOC_EOE} <= preds
+    ts_types = {
+        r["obj_iri"] for r in triples.filter(F.col("pred") == RDF_TYPE).collect()
+    }
+    assert CIDOC_TIMESPAN in ts_types
+    # IN qualifier fills all four points
+    four = triples.filter(F.col("pred").isin(CIDOC_BOB, CIDOC_EOB, CIDOC_BOE, CIDOC_EOE))
+    assert four.count() == 4
