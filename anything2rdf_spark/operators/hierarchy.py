@@ -132,3 +132,127 @@ def consistency_check(df: DataFrame, forbidden: DataFrame, on: list[str]) -> Non
     if n:
         rows = [tuple(r) for r in bad.limit(5).collect()]
         raise ValueError(f"consistency check failed; offending rows: {rows}")
+
+
+# --- G5: statute-style stack hierarchy (FinlexXML2RDF.scala:54-231) ---------
+
+STATUTE_ELEMENT_KINDS = {
+    "sd": "Statute",
+    "os": "Part",
+    "lu": "Chapter",
+    "vo": "Subheading",
+    "py": "Section",
+    "mo": "Moment",
+}
+
+STATUTE_NODE_SCHEMA = (
+    "node_id string, kind string, parent_id string, label string, "
+    "running_title string, body string"
+)
+
+
+def parse_statute_xml(xml: str) -> list[dict]:
+    """Recursive-descent re-expression of the reference's imperative stack
+    walk (FinlexXML2RDF.scala:54-231: Stack[Resource] hbuf + running-title
+    otbuf): each structural element (sd/os/lu/vo/py/mo) with an ``id``
+    becomes a node typed by its element kind, linked isPartOf its enclosing
+    node, labelled by its <nu> title, carrying the comma-joined running
+    title of its ancestor chain (the ``ot + ", " + nu`` accumulation). An
+    id-less <py> contributes its text to the enclosing node's body (the
+    reference's EvText loop). One dict per node — feed through
+    sources.readers.xml_records_udf(STATUTE_NODE_SCHEMA, parse_statute_xml).
+    """
+    import xml.etree.ElementTree as ET
+
+    out: list[dict] = []
+
+    def title_of(el) -> str:
+        nu = el.find("nu")
+        return (nu.text or "").strip() if nu is not None else ""
+
+    def walk(el, parent_id: str | None, running: str):
+        for child in el:
+            if child.tag in STATUTE_ELEMENT_KINDS:
+                cid = child.get("id")
+                if cid is None:
+                    # id-less structural element: body text folds into the
+                    # enclosing node (FinlexXML2RDF.scala:111-119)
+                    if out and parent_id is not None:
+                        enclosing = next(
+                            (r for r in reversed(out) if r["node_id"] == parent_id), None
+                        )
+                        if enclosing is not None:
+                            text = "".join(child.itertext()).strip()
+                            if text:
+                                enclosing["body"] = (
+                                    enclosing["body"] + "\n" + text
+                                    if enclosing["body"]
+                                    else text
+                                )
+                    continue
+                label = title_of(child)
+                rt = f"{running}, {label}" if running and label else (label or running)
+                out.append(
+                    {
+                        "node_id": cid,
+                        "kind": STATUTE_ELEMENT_KINDS[child.tag],
+                        "parent_id": parent_id,
+                        "label": label,
+                        "running_title": rt,
+                        "body": "",
+                    }
+                )
+                walk(child, cid, rt)
+            else:
+                walk(child, parent_id, running)
+
+    root = ET.fromstring(xml)
+    if root.tag in STATUTE_ELEMENT_KINDS and root.get("id"):
+        label = title_of(root)
+        out.append(
+            {
+                "node_id": root.get("id"),
+                "kind": STATUTE_ELEMENT_KINDS[root.tag],
+                "parent_id": None,
+                "label": label,
+                "running_title": label,
+                "body": "",
+            }
+        )
+        walk(root, root.get("id"), label)
+    else:
+        walk(root, None, "")
+    return out
+
+
+def statute_triples(nodes: DataFrame, ns: str | None = None) -> DataFrame:
+    """Statute node rows → triples: rdf:type (kind class under SCHEMA_NS),
+    dcterms:isPartOf parent, skos:prefLabel running title (lang 'fi' like
+    the reference), rdfs:label own title (FinlexXML2RDF.scala:69-77)."""
+    from .. import NS, RDF_TYPE, RDFS_LABEL, SCHEMA_NS, SKOS_PREF_LABEL
+    from .. import iri
+    from .extract import _t
+
+    ns = ns or NS
+    DCTERMS_IS_PART_OF = "http://purl.org/dc/terms/isPartOf"
+    node = iri.mint("statute_node", "node_id", ns=ns)
+    parent = iri.mint("statute_node", "parent_id", ns=ns)
+    kls = F.concat(F.lit(SCHEMA_NS), F.col("kind"))
+    rules = [
+        _t(node, RDF_TYPE, obj_iri=kls),
+        _t(node, DCTERMS_IS_PART_OF, obj_iri=parent, guard=F.col("parent_id").isNotNull()),
+        _t(node, SKOS_PREF_LABEL, obj_lit=F.col("running_title"), lang="fi",
+           guard=F.col("running_title") != ""),
+        _t(node, RDFS_LABEL, obj_lit=F.col("label"), lang="fi", guard=F.col("label") != ""),
+        _t(node, SCHEMA_NS + "fulltext", obj_lit=F.col("body"), guard=F.col("body") != ""),
+    ]
+    return (
+        nodes.select(F.explode(F.array(*rules)).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select(
+            "r.*",
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+        )
+        .select(*TRIPLE_COLS)
+    )

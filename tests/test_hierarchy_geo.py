@@ -69,3 +69,50 @@ def test_tm35fin_to_wgs84(spark):
     df0 = spark.createDataFrame([(500000.0, 6653097.0)], "e double, n double")
     r0 = df0.select(tm35fin_to_wgs84("e", "n").alias("g")).collect()[0]["g"]
     assert abs(r0["lon"] - 27.0) < 1e-6
+
+
+def test_statute_stack_hierarchy(spark):
+    """G5: Finlex-style statute XML → typed node rows with running titles
+    (FinlexXML2RDF.scala:54-231 stack semantics) → triples."""
+    from anything2rdf_spark.operators.hierarchy import (
+        parse_statute_xml,
+        statute_triples,
+        STATUTE_NODE_SCHEMA,
+    )
+    from anything2rdf_spark.sources.readers import xml_records_udf
+
+    xml = """<sd id="1928/161"><nu>Laki X</nu>
+      <os id="1928/161:o1"><nu>Osa 1</nu>
+        <lu id="1928/161:l1"><nu>Luku 1</nu>
+          <py id="1928/161:p1"><nu>1 §</nu>
+            <py>momentin teksti</py>
+          </py>
+          <py id="1928/161:p2"><nu>2 §</nu></py>
+        </lu>
+      </os>
+    </sd>"""
+    rows = parse_statute_xml(xml)
+    by_id = {r["node_id"]: r for r in rows}
+    assert by_id["1928/161"]["kind"] == "Statute" and by_id["1928/161"]["parent_id"] is None
+    assert by_id["1928/161:o1"]["kind"] == "Part" and by_id["1928/161:o1"]["parent_id"] == "1928/161"
+    assert by_id["1928/161:l1"]["kind"] == "Chapter"
+    assert by_id["1928/161:p1"]["kind"] == "Section"
+    # running title accumulates down the ancestor chain (ot + ", " + nu)
+    assert by_id["1928/161:p1"]["running_title"] == "Laki X, Osa 1, Luku 1, 1 §"
+    # id-less <py> folds its text into the enclosing section's body
+    assert by_id["1928/161:p1"]["body"] == "momentin teksti"
+
+    # Spark path: xml payload rows → node rows → triples
+    df = spark.createDataFrame([(xml,)], "payload string")
+    nodes = df.mapInPandas(
+        xml_records_udf(STATUTE_NODE_SCHEMA, parse_statute_xml), STATUTE_NODE_SCHEMA
+    )
+    trip = statute_triples(nodes)
+    preds = {r["pred"] for r in trip.collect()}
+    assert "http://purl.org/dc/terms/isPartOf" in preds
+    part_of = {
+        (r["subj"], r["obj_iri"])
+        for r in trip.filter("pred = 'http://purl.org/dc/terms/isPartOf'").collect()
+    }
+    assert any("statute_node_1928%2F161%3Ao1" in s or "1928" in s for s, _ in part_of)
+    assert len(part_of) == 4  # every non-root node links to its parent
