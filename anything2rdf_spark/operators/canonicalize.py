@@ -54,32 +54,40 @@ def connected_components(
         und = und.localCheckpoint()
         parent = parent.localCheckpoint()
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
-        # (1) neighbor-min: min component label among self and neighbors
+        # (1) neighbor-min: min component label among self and neighbors.
+        # The pre-update label rides along as _old so the convergence check
+        # needs NO extra join or job.
         nbr = (
             und.join(parent.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        p1 = (
-            parent.join(nbr, "node", "left")
-            .select("node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+        p1 = parent.join(nbr, "node", "left").select(
+            "node",
+            F.col("comp").alias("_old"),
+            F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
         )
         # (2) pointer jump: comp := comp(comp)
         lut = p1.select(F.col("node").alias("comp"), F.col("comp").alias("comp2"))
-        p2 = (
-            p1.join(lut, "comp", "left")
-            .select("node", F.least("comp", F.coalesce("comp2", "comp")).alias("comp"))
+        p2 = p1.join(lut, "comp", "left").select(
+            "node",
+            "_old",
+            F.least("comp", F.coalesce("comp2", "comp")).alias("comp"),
         )
         if checkpoint:
-            p2 = p2.localCheckpoint()
-        changed = (
-            p2.join(parent.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        parent = p2
+            # the changed-count observes the SAME job that materializes the
+            # checkpoint — one action per round, not two (per-round jobs are
+            # the wall-clock driver of the O(log L) loop at any scale)
+            obs = Observation()
+            p2o = p2.observe(obs, F.count_if(F.col("comp") != F.col("_old")).alias("chg"))
+            parent = p2o.select("node", "comp").localCheckpoint()
+            changed = obs.get["chg"]
+        else:
+            changed = p2.filter(F.col("comp") != F.col("_old")).limit(1).count()
+            parent = p2.select("node", "comp")
         if changed == 0:
             return parent.select(F.col("node").alias("node_id"), F.col("comp").alias("canonical_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
