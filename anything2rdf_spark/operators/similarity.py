@@ -127,6 +127,7 @@ def lsh_topk(
     dim: int | None = None,
     signature: str = "gauss",
     order_round: int | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane signature,
     score only within the shared bucket, exact re-rank. Recall < 1 by
@@ -134,11 +135,17 @@ def lsh_topk(
 
     Pass ``dim`` explicitly in pipelines (the ``None`` fallback runs a
     driver-side ``first()`` job). ``signature='grid'`` uses the
-    engine-portable integer signature (lsh_signature_grid)."""
+    engine-portable integer signature (lsh_signature_grid).
+    ``multi_probe=1`` additionally probes every bucket at Hamming distance 1
+    from the query's signature (n_planes extra buckets per query — queries
+    are the broadcast side, so the fan-out is dimension-sized): the standard
+    recall/probe-cost dial (Lv et al., multi-probe LSH, VLDB'07)."""
     from pyspark.sql import Window as W
 
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe supports 0 (exact bucket) or 1 (1-bit flips)")
     sig_expr = (
         lsh_signature_grid(vec_col, dim, n_planes)
         if signature == "grid"
@@ -148,8 +155,15 @@ def lsh_topk(
         F.col(id_col), F.col(vec_col).alias("_cvec"), sig_expr.alias("_b")
     )
     qsig = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), sig_expr.alias("_b")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), sig_expr.alias("_sig")
     )
+    if multi_probe == 1:
+        probes = F.array(
+            F.col("_sig"), *[F.col("_sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        )
+        qsig = qsig.select(query_id_col, "_qvec", F.explode(probes).alias("_b"))
+    else:
+        qsig = qsig.withColumnRenamed("_sig", "_b")
     scored = csig.join(F.broadcast(qsig), "_b").select(
         query_id_col,
         id_col,

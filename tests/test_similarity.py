@@ -71,3 +71,33 @@ def test_embedding_neardup_pairs(spark):
     pairs = {(r["a"], r["b"]) for r in SM.embedding_neardup_pairs(df, threshold=0.99, n_planes=4).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_multi_probe_recall_not_worse(spark):
+    """multi_probe=1 probes the n_planes Hamming-1 buckets too: its
+    candidate set strictly contains the single-probe set, so per-query
+    recall against the exact top-k can only improve."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 8").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in SM.cosine_topk(emb, queries, k=5, order_round=6).collect()
+    }
+
+    def recall(multi_probe):
+        ann = {
+            (r["query_id"], r["vec_id"])
+            for r in SM.lsh_topk(
+                emb, queries, k=5, n_planes=6, dim=64, signature="grid",
+                order_round=6, multi_probe=multi_probe,
+            ).collect()
+        }
+        return len(ann & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert 0.0 <= r0 <= r1 <= 1.0
+    assert r1 > 0.2  # every query finds itself plus near neighbors
