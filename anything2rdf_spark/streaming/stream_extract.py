@@ -58,3 +58,82 @@ def run_stream_to_memory(spark: SparkSession, src_path: str, name: str = "stream
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# --- custom stateful operator: streaming gap-sessionization ----------------
+
+SESSION_STATE_SCHEMA = "last_ts long, session_n int"
+SESSION_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, session_id string"
+)
+
+
+def streaming_sessionize(
+    transcripts_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``:
+    per-conversation state carries (last event-time seconds, session
+    counter); a gap > ``gap_minutes`` opens a new session. The streaming
+    analog of operators.windows.sessionize (equality with the batch
+    operator is test-enforced on in-order replays; out-of-order arrivals
+    within the watermark are sessionized in arrival order, which is the
+    documented semantic difference of the streaming variant).
+
+    State size is O(active conversations) × 12 bytes — bounded, and GC'd by
+    the watermark timeout at 10^12-turn scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            last_ts, session_n = state.get
+        else:
+            last_ts, session_n = None, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "turn_idx"])
+            for ts, turn_idx in zip(pdf["ts"], pdf["turn_idx"]):
+                tsec = int(pd.Timestamp(ts).timestamp())
+                if last_ts is None or tsec - last_ts > gap_s:
+                    session_n += 1
+                last_ts = tsec
+                out.append((conv_id, int(turn_idx), ts, f"{conv_id}#{session_n}"))
+        state.update((last_ts, session_n))
+        yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "ts", "session_id"])
+
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_sessionize_stream_to_memory(
+    spark: SparkSession, src_path: str, name: str = "stream_sessions",
+    gap_minutes: int = 30, max_files: int = 1,
+):
+    """Synchronous local harness for the stateful sessionizer.
+    ``max_files=1`` forces one micro-batch per input file so tests exercise
+    state carried across batches."""
+    q = (
+        streaming_sessionize(read_transcripts_stream(spark, src_path, max_files=max_files), gap_minutes)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -33,3 +33,29 @@ def test_streaming_conv_stats_runs(spark, tmp_path):
     out = spark.sql("SELECT * FROM t_stats")
     assert out.count() > 0
     assert set(out.columns) == {"window", "conv_id", "n_turns", "max_turn_idx"}
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization (applyInPandasWithState) equals the
+    batch windows.sessionize on an in-order replay, INCLUDING state carried
+    across micro-batches (the two files split each conversation in time)."""
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.windows import sessionize
+
+    ts = synth.transcripts(spark, n_convs=12, seed=35).filter(F.col("ts").isNotNull())
+    src = str(tmp_path / "stream_src3")
+    # in-order replay: each conversation's earlier half lands in file 0,
+    # later half in file 1 → the session counter must survive the batch gap
+    mid = ts.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    early, late = ts.filter(F.col("ts") <= mid), ts.filter(F.col("ts") > mid)
+    early.coalesce(1).sortWithinPartitions("conv_id", "ts", "turn_idx").write.parquet(src)
+    late.coalesce(1).sortWithinPartitions("conv_id", "ts", "turn_idx").write.mode("append").parquet(src)
+
+    got = SE.run_sessionize_stream_to_memory(spark, src, name="t_sess")
+    want = sessionize(ts, gap_minutes=30)
+
+    g = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in got.collect()}
+    w = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in want.collect()}
+    assert len(g) == len(w)
+    assert g == w
