@@ -44,8 +44,13 @@ def get_spark(
         # memory; size it to the machine, not the default 1g (guide §Session)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         # throughput GC: measured ~15% faster than G1 on codegen-heavy
-        # string workloads in this environment
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # string workloads in this environment. SPARK_GC_OPTS overrides —
+        # e.g. capping ParallelGCThreads below the (oversubscribed)
+        # advertised vCPU count on burst-throttled hosts.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
