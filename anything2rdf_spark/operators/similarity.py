@@ -212,3 +212,111 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# --- IVF (inverted-file) ANN: coarse spherical-kmeans quantizer ------------
+
+
+def _centroid_scores(vec_col, centroids: list[list[float]]):
+    """array<struct<negdot,j>> of negative dot products against each
+    (unit-norm) centroid — array_min picks the best cluster; array_sort +
+    slice picks the top-nprobe."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array(
+        *[
+            F.struct(
+                (-_dot(v, F.array(*[F.lit(float(x)) for x in c]))).alias("negdot"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: spherical k-means with deterministic
+    init (the nlist smallest ids) and ``iters`` Lloyd rounds, each one
+    DataFrame aggregation. Centroids are dimension-sized → they live on the
+    driver and broadcast into the assignment expression; the corpus is
+    never collected. At 100 TB: train on a sampled slice, assign the full
+    corpus in one narrow pass, partition the index by cluster id."""
+    import math
+
+    def _unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    seed_rows = df.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    centroids = [_unit([float(x) for x in r[0]]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = df.select(
+            F.array_min(_centroid_scores(vec_col, centroids))["j"].alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["d"]] = r["s"]
+        dim = len(centroids[0])
+        centroids = [
+            _unit([by_cluster[c].get(d, 0.0) for d in range(dim)])
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its old centroid
+            for c in range(nlist)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    order_round: int | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their nearest-centroid list;
+    each query probes its ``nprobe`` nearest lists; exact cosine re-rank
+    inside the probed lists. ``nprobe == nlist`` degenerates to the exact
+    brute-force result (test-enforced). The corpus side is one narrow
+    assignment pass — at scale the inverted lists are the partition/bucket
+    key, so a probe touches nprobe/nlist of the data."""
+    from pyspark.sql import Window as W
+
+    csig = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        F.array_min(_centroid_scores(vec_col, centroids))["j"].alias("_cl"),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(_centroid_scores(vec_col, centroids)), 1, nprobe),
+        lambda s: s["j"],
+    )
+    qsig = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), F.explode(probes).alias("_cl")
+    )
+    scored = csig.join(F.broadcast(qsig), "_cl").select(
+        query_id_col,
+        id_col,
+        (
+            _dot(F.col("_cvec"), F.col("_qvec"))
+            / (_norm(F.col("_cvec")) * _norm(F.col("_qvec")))
+        ).alias("cosine_sim"),
+    )
+    key = F.col("cosine_sim") if order_round is None else F.round("cosine_sim", order_round)
+    w = W.partitionBy(query_id_col).orderBy(F.desc(key), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

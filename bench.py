@@ -238,7 +238,7 @@ def main():
     n_small = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "1"))
     n_big = 4 * n_small
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
     t_start = time.time()
     n_convs = SF_CONVS.get(sf, 10000)
     pipe_input = os.path.join(tempfile.gettempdir(), f"a2r_bench_input_sf{sf}")

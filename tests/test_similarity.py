@@ -101,3 +101,38 @@ def test_multi_probe_recall_not_worse(spark):
     r0, r1 = recall(0), recall(1)
     assert 0.0 <= r0 <= r1 <= 1.0
     assert r1 > 0.2  # every query finds itself plus near neighbors
+
+
+def test_ivf_topk_exact_when_probing_all(spark):
+    """nprobe == nlist probes every inverted list → identical to the exact
+    brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = SM.ivf_train(emb, nlist=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    exact = {(r["query_id"], r["vec_id"], r["rank"]) for r in SM.cosine_topk(emb, queries, k=5, order_round=6).collect()}
+    allprobe = {(r["query_id"], r["vec_id"], r["rank"]) for r in SM.ivf_topk(emb, queries, cents, k=5, nprobe=8, order_round=6).collect()}
+    assert exact == allprobe
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=2 of 8 lists touches 1/4 of the corpus but keeps useful
+    recall (every query at least finds itself: it lives in its own nearest
+    list, which is always probed first)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 6").select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = SM.ivf_train(emb, nlist=8, iters=2)
+    exact = {(r["query_id"], r["vec_id"]) for r in SM.cosine_topk(emb, queries, k=5, order_round=6).collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in SM.ivf_topk(emb, queries, cents, k=5, nprobe=2, order_round=6).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2
+    for qid in range(6):
+        assert (qid, qid) in got  # self-hit guaranteed
