@@ -50,6 +50,11 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     mid = ts.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
     early, late = ts.filter(F.col("ts") <= mid), ts.filter(F.col("ts") > mid)
     early.coalesce(1).sortWithinPartitions("conv_id", "ts", "turn_idx").write.parquet(src)
+    # file-source micro-batch order follows modification time: make sure the
+    # two files cannot tie on the same timestamp
+    import time as _time
+
+    _time.sleep(1.1)
     late.coalesce(1).sortWithinPartitions("conv_id", "ts", "turn_idx").write.mode("append").parquet(src)
 
     got = SE.run_sessionize_stream_to_memory(spark, src, name="t_sess")
