@@ -281,10 +281,30 @@ def _ac_scan_text(text: str, ac: AhoCorasick, canon: dict[str, str]) -> list[str
 
 
 # per-executor-process scanner cache: module-level so it survives across
-# tasks within one Python worker (the closure itself is re-pickled per task)
+# tasks within one Python worker (the closure itself is re-pickled per task).
+# Keyed by a content fingerprint of (surfaces, engine) so identical
+# dictionaries share one automaton across pipeline runs, and bounded so a
+# long-lived worker seeing many distinct dictionaries can't accumulate
+# unbounded compiled state.
 _SCANNER_CACHE: dict = {}
+_SCANNER_CACHE_MAX = 4
 
 AC_THRESHOLD = 256  # alternation regex is faster below this dictionary size
+
+
+def _surfaces_fingerprint(surfaces, engine: str) -> str:
+    """Stable content key for the scanner cache: md5 over the sorted surface
+    set + engine choice. Computed once on the driver (the surface list is
+    already driver-resident there — either a plain list or the broadcast's
+    local value)."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(engine.encode())
+    for s in sorted(set(surfaces)):
+        h.update(b"\x00")
+        h.update(s.encode("utf-8", "surrogatepass"))
+    return h.hexdigest()
 
 
 def mention_scan_udf(surfaces, engine: str = "auto"):
@@ -304,13 +324,12 @@ def mention_scan_udf(surfaces, engine: str = "auto"):
     (test-enforced): array<string> of matched surface forms in original
     dictionary casing, leftmost-longest, non-overlapping.
     """
-    import uuid
-
     bc = surfaces if hasattr(surfaces, "value") else None
     local = None if bc is not None else sorted(set(surfaces), key=len, reverse=True)
-    # one cache slot per scanner instance (key minted on the driver, stable
-    # across all tasks of this UDF) — the automaton builds once per executor
-    cache_key = uuid.uuid4().hex
+    # content-keyed cache slot (minted on the driver, stable across all
+    # tasks of this UDF AND across re-invocations with the same dictionary)
+    # — the automaton builds once per executor per distinct dictionary
+    cache_key = _surfaces_fingerprint(bc.value if bc is not None else local, engine)
 
     def _build():
         surfs = sorted(set(bc.value), key=len, reverse=True) if bc is not None else local
@@ -339,6 +358,8 @@ def mention_scan_udf(surfaces, engine: str = "auto"):
     def scan(texts: pd.Series) -> pd.Series:
         fn = _SCANNER_CACHE.get(cache_key)
         if fn is None:
+            while len(_SCANNER_CACHE) >= _SCANNER_CACHE_MAX:
+                _SCANNER_CACHE.pop(next(iter(_SCANNER_CACHE)))
             fn = _SCANNER_CACHE.setdefault(cache_key, _build())
         return fn(texts)
 

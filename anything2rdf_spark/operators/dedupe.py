@@ -91,13 +91,23 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     hash_mode: str = "xxhash64",
+    max_bucket: int = 100_000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (a < b), deduplicated across
     bands. rows_per_band = num_hashes // bands; two docs are candidates when
     any band's signature slice matches exactly — the classic banding scheme
     (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3). The band
     bucket key is the slice itself (joined as a string), not a re-hash —
-    no false candidates from bucket collisions, and engine-portable."""
+    no false candidates from bucket collisions, and engine-portable.
+
+    ``max_bucket`` guards the within-bucket self-join against a degenerate
+    hot bucket (a corpus of near-identical docs lands in one bucket and the
+    join goes quadratic): rows in (band, bucket) groups above the cap are
+    excluded from pairing (``None`` disables; the cap drops those buckets'
+    candidate pairs — an all-identical corpus above the cap should be
+    routed through ``exact_duplicates`` first, which is linear).
+    ``log_dropped`` runs one small extra job to log what was dropped."""
     r = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -119,6 +129,19 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        from .similarity import cap_buckets, oversized_buckets
+
+        if log_dropped:
+            import logging
+
+            dropped = oversized_buckets(banded, ["band", "bucket"], max_bucket).collect()
+            if dropped:
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh_candidates: dropping %d oversized bucket(s) "
+                    "(max_bucket=%d)", len(dropped), max_bucket,
+                )
+        banded = cap_buckets(banded, ["band", "bucket"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -140,7 +163,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via shared-shingle self-join — the
     verification step behind MinHash candidates (or standalone at moderate
@@ -151,8 +174,10 @@ def ngram_jaccard_pairs(
     rows), so drop shingles with df > max_df from the *join* while keeping
     them in the per-doc sizes — the standard DF-cap that bounds the
     candidate blowup at the cost of slightly under-estimating |∩| (hence
-    jaccard) for pairs sharing only ubiquitous shingles. ``None`` keeps the
-    exact semantics (safe only at moderate scale / post-MinHash)."""
+    jaccard) for pairs sharing only ubiquitous shingles. The finite default
+    makes the safe behavior opt-out, not opt-in: pass an explicit
+    ``max_df=None`` to opt into exact semantics (safe only at moderate
+    scale / post-MinHash — a 10⁶-doc stop-shingle is 10¹² join rows)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s")
     ).distinct()

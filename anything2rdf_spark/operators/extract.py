@@ -178,6 +178,118 @@ def extract_mentions(transcripts: DataFrame, dictionary_surfaces) -> DataFrame:
     )
 
 
+_TOKEN_SEP = r"[^\p{L}\p{N}_]+"  # \W+ with unicode letters/digits
+
+
+def _word_tokens(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), _TOKEN_SEP), lambda t: t != "")
+
+
+def extract_mentions_join(
+    transcripts: DataFrame, surfaces: DataFrame, surface_col: str = "surface"
+) -> DataFrame:
+    """Join-based mention extraction — the engine for dictionaries too large
+    to broadcast (10⁷+ surface forms), where the scan engine's
+    driver-collected list / per-executor automaton stops being viable.
+    NOTHING is ever materialized on the driver: the dictionary stays a
+    DataFrame end to end.
+
+    Plan (token → surface-first-token index join → span verify → greedy
+    leftmost-longest fold, all native exprs):
+
+    1. tokenize each turn into word tokens (unicode ``\\W+`` split, the
+       token-level analog of the scan engines' ``\\b`` boundaries);
+    2. join each (turn, token position) against the surface index keyed on
+       the surface's FIRST token — the one shuffle; a big dictionary is just
+       a bigger join side, planned by AQE (skew-join absorbs a hot first
+       token);
+    3. verify the full span: the next n_tok turn tokens must equal the
+       surface's token sequence;
+    4. per turn, fold the verified candidate spans left-to-right with a
+       native ``aggregate``: sort by (position, longest-first), keep a span
+       when it starts at/after the cursor — exactly the scan engines'
+       leftmost-longest non-overlapping selection, in token space.
+
+    Semantics vs the scan engines: matching is on token sequences, so it is
+    punctuation/whitespace-run insensitive ("New  York" matches surface
+    "New York"). On texts and surfaces with single-space word separation the
+    output equals ``extract_mentions`` (test-enforced, including overlap
+    cases). Output: (conv_id, turn_idx, surface, norm_surface).
+    """
+    from ..functions import text as _TX
+
+    surf = (
+        surfaces.select(F.col(surface_col).alias("_surface"))
+        .filter(F.col("_surface").isNotNull())
+        .select("_surface", _word_tokens("_surface").alias("_stoks"))
+        .filter(F.size("_stoks") > 0)
+        .select(
+            "_surface",
+            F.array_join("_stoks", " ").alias("_skey"),
+            F.element_at("_stoks", 1).alias("_tok"),
+            F.size("_stoks").alias("_ntok"),
+        )
+        # one winner per distinct token sequence (deterministic min surface:
+        # the scan engines' canon-casing map, made order-independent)
+        .groupBy("_skey", "_tok", "_ntok")
+        .agg(F.min("_surface").alias("_surface"))
+    )
+    turns = admissible(transcripts).select(
+        "conv_id", "turn_idx", _word_tokens("text").alias("_toks")
+    )
+    cand = (
+        turns.select("conv_id", "turn_idx", "_toks", F.posexplode("_toks").alias("_p", "_tok"))
+        .join(surf, "_tok")
+        .filter(
+            F.array_join(F.slice("_toks", F.col("_p") + 1, F.col("_ntok")), " ")
+            == F.col("_skey")
+        )
+        .select("conv_id", "turn_idx", "_p", "_ntok", "_surface")
+    )
+    picked = (
+        cand.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_p").alias("p"),
+                        (-F.col("_ntok")).alias("neglen"),
+                        F.col("_ntok").alias("n"),
+                        F.col("_surface").alias("s"),
+                    )
+                )
+            ).alias("_ms")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.aggregate(
+                "_ms",
+                F.struct(
+                    F.lit(0).alias("cur"),
+                    F.array().cast("array<string>").alias("acc"),
+                ),
+                lambda st, m: F.when(
+                    m["p"] >= st["cur"],
+                    F.struct(
+                        (m["p"] + m["n"]).alias("cur"),
+                        F.array_append(st["acc"], m["s"]).alias("acc"),
+                    ),
+                ).otherwise(st),
+            )["acc"].alias("_sel"),
+        )
+    )
+    return picked.select(
+        "conv_id", "turn_idx", F.explode("_sel").alias("surface")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "surface",
+        _TX.norm_surface("surface").alias("norm_surface"),
+    )
+
+
 def code_table_triples(code_tables: DataFrame, ns: str = NS) -> DataFrame:
     """E3: code-table dimension → entity triples (rdf:type + skos:prefLabel
     per code; OBCXML2RDF.scala:36-136 code maps as data)."""

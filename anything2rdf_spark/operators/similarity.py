@@ -77,12 +77,23 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
 
 def grid_planes(dim: int, n_planes: int = 8) -> list[list[int]]:
     """Deterministic small-integer hyperplanes from a closed-form grid:
-    ``w[j][d] = ((1 + 31*j + 17*d) % 7) - 3`` ∈ {-3..3}. Engine-portable —
-    any SQL engine can regenerate them — and integer, so the signature
-    computed over quantized vectors is EXACT (no float-associativity drift
-    between engines). Used by the driver's oracle-checked LSH queries;
-    production runs keep the gaussian ``hyperplanes``."""
-    return [[((1 + 31 * j + 17 * d) % 7) - 3 for d in range(dim)] for j in range(n_planes)]
+    ``w[j][d] = ((1 + (3 + 2*j)*d + 7*j) % 11) - 5`` ∈ {-5..5}.
+    Engine-portable — any SQL engine can regenerate them — and integer, so
+    the signature computed over quantized vectors is EXACT (no
+    float-associativity drift between engines). Used by the driver's
+    oracle-checked LSH queries; production runs keep the gaussian
+    ``hyperplanes``.
+
+    The per-plane slope ``(3 + 2*j) % 11`` is distinct for every j < 11, so
+    no two planes are equal or cyclic shifts of each other (the earlier
+    ``% 7`` formula made plane j+7 identical to plane j and every plane a
+    shift of one period-7 sequence — correlated buckets)."""
+    if n_planes > 11:
+        raise ValueError("grid_planes supports at most 11 distinct planes (mod-11 slopes)")
+    return [
+        [((1 + (3 + 2 * j) * d + 7 * j) % 11) - 5 for d in range(dim)]
+        for j in range(n_planes)
+    ]
 
 
 def lsh_signature_grid(vec_col, dim: int, n_planes: int = 8, scale: int = 1000):
@@ -177,6 +188,31 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cap_buckets(df: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """Drop every row whose bucket holds more than ``max_bucket`` rows — the
+    hot-bucket guard for LSH self-joins: a degenerate bucket (near-identical
+    corpus, too few planes) makes the within-bucket self-join quadratic in
+    that one bucket. The count is a window over the same keys the join
+    shuffles on (no extra exchange). Dropping a bucket loses its candidate
+    pairs by design — the remedy for a persistently hot bucket is more
+    planes, not a bigger cap; use ``oversized_buckets`` to see what a cap
+    would drop."""
+    from pyspark.sql import Window as W
+
+    cnt = F.count("*").over(W.partitionBy(*bucket_cols))
+    return df.withColumn("_bn", cnt).filter(F.col("_bn") <= max_bucket).drop("_bn")
+
+
+def oversized_buckets(df: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """The buckets (with row counts) that ``cap_buckets`` would drop —
+    dimension-sized; count/collect it to log the drop decision."""
+    return (
+        df.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("bucket_rows"))
+        .filter(F.col("bucket_rows") > max_bucket)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -186,10 +222,17 @@ def embedding_neardup_pairs(
     seed: int = 42,
     dim: int | None = None,
     signature: str = "gauss",
+    max_bucket: int = 100_000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
     LSH-bucketed self-join — candidates only within a bucket, then exact
-    cosine filter. Pass ``dim`` explicitly in pipelines."""
+    cosine filter. Pass ``dim`` explicitly in pipelines.
+
+    ``max_bucket`` guards the self-join against a degenerate hot bucket
+    (quadratic in bucket size): rows in buckets above the cap are excluded
+    from pairing (``None`` disables). ``log_dropped`` runs one small extra
+    job to log the dropped buckets."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sig_expr = (
@@ -200,6 +243,19 @@ def embedding_neardup_pairs(
     sig = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig_expr.alias("b")
     )
+    if max_bucket is not None:
+        if log_dropped:
+            import logging
+
+            dropped = oversized_buckets(sig, ["b"], max_bucket).collect()
+            if dropped:
+                logging.getLogger(__name__).warning(
+                    "embedding_neardup_pairs: dropping %d oversized bucket(s) "
+                    "(max_bucket=%d): %s",
+                    len(dropped), max_bucket,
+                    [(r["b"], r["bucket_rows"]) for r in dropped[:10]],
+                )
+        sig = cap_buckets(sig, ["b"], max_bucket)
     return (
         sig.alias("l")
         .join(sig.alias("r"), (F.col("l.b") == F.col("r.b")) & (F.col("l.id") < F.col("r.id")))
@@ -215,6 +271,36 @@ def embedding_neardup_pairs(
 
 
 # --- IVF (inverted-file) ANN: coarse spherical-kmeans quantizer ------------
+
+
+def quantize_vec(vec_col, scale: int = 1000):
+    """array<double> → array<long> via ``round(x*scale)`` — the integer-exact
+    vector used by the engine-portable IVF/LSH paths. ``x*scale`` never lands
+    exactly on .5 (scale=1000 has non-power-of-two factors), so any engine's
+    round() agrees."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(v, lambda x: F.round(x * scale, 0).cast("long"))
+
+
+def _centroid_scores_int(vec_col, centroids: list[list[int]], scale: int):
+    """Engine-portable centroid scores: array<struct<negscore,j>> where
+    score_j = dot(qv, c_j) / sqrt(|c_j|²) — cosine up to the row-constant
+    |qv| factor, so argmin(negscore) is the nearest centroid. dot and |c|²
+    are exact integers (< 2^53), the division/sqrt are identical IEEE ops in
+    any engine → assignments are bit-for-bit reproducible."""
+    qv = quantize_vec(vec_col, scale)
+    entries = []
+    for j, c in enumerate(centroids):
+        warr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        dot = F.aggregate(
+            F.zip_with(qv, warr, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        normsq = sum(int(x) * int(x) for x in c) or 1
+        score = dot.cast("double") / F.sqrt(F.lit(float(normsq)))
+        entries.append(F.struct((-score).alias("negscore"), F.lit(j).alias("j")))
+    return F.array(*entries)
 
 
 def _centroid_scores(vec_col, centroids: list[list[float]]):
@@ -239,14 +325,50 @@ def ivf_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list[list[float]]:
+    quantize_scale: int | None = None,
+) -> list[list[float]] | list[list[int]]:
     """Train the IVF coarse quantizer: spherical k-means with deterministic
     init (the nlist smallest ids) and ``iters`` Lloyd rounds, each one
     DataFrame aggregation. Centroids are dimension-sized → they live on the
     driver and broadcast into the assignment expression; the corpus is
     never collected. At 100 TB: train on a sampled slice, assign the full
-    corpus in one narrow pass, partition the index by cluster id."""
+    corpus in one narrow pass, partition the index by cluster id.
+
+    ``quantize_scale`` switches to the engine-portable integer variant
+    (pass the same value to :func:`ivf_topk`): vectors quantize to
+    ``round(x*scale)`` longs, centroids are the *unnormalized* integer sums
+    per cluster (cosine assignment is scale-invariant, so skipping the
+    normalization changes nothing), and every sum is an exact integer —
+    order-independent, hence bit-identical in any engine. Used by the
+    driver's oracle-checked ``sim_ivf_recall``; production runs keep the
+    float path."""
     import math
+
+    if quantize_scale is not None:
+        seed_rows = (
+            df.orderBy(id_col).limit(nlist).select(quantize_vec(vec_col, quantize_scale)).collect()
+        )
+        icentroids: list[list[int]] = [[int(x) for x in r[0]] for r in seed_rows]
+        for _ in range(iters):
+            assigned = df.select(
+                F.array_min(_centroid_scores_int(vec_col, icentroids, quantize_scale))["j"].alias("cluster"),
+                quantize_vec(vec_col, quantize_scale).alias("qv"),
+            )
+            sums = (
+                assigned.select("cluster", F.posexplode("qv").alias("d", "x"))
+                .groupBy("cluster", "d")
+                .agg(F.sum("x").alias("s"))
+                .collect()
+            )
+            iby: dict[int, dict[int, int]] = {}
+            for r in sums:
+                iby.setdefault(r["cluster"], {})[r["d"]] = int(r["s"])
+            dim = len(icentroids[0])
+            icentroids = [
+                [iby[c].get(d, 0) for d in range(dim)] if c in iby else icentroids[c]
+                for c in range(nlist)
+            ]
+        return icentroids
 
     def _unit(v):
         n = math.sqrt(sum(x * x for x in v)) or 1.0
@@ -281,29 +403,40 @@ def ivf_train(
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | list[list[int]],
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     order_round: int | None = None,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus rows live in their nearest-centroid list;
     each query probes its ``nprobe`` nearest lists; exact cosine re-rank
     inside the probed lists. ``nprobe == nlist`` degenerates to the exact
     brute-force result (test-enforced). The corpus side is one narrow
     assignment pass — at scale the inverted lists are the partition/bucket
-    key, so a probe touches nprobe/nlist of the data."""
+    key, so a probe touches nprobe/nlist of the data.
+
+    ``quantize_scale`` selects the engine-portable integer scoring for
+    centroids trained with the same ``ivf_train(quantize_scale=...)`` —
+    cluster assignment and probe order are then bit-identical across
+    engines (the re-rank cosine stays on the original float vectors)."""
     from pyspark.sql import Window as W
+
+    def scores(col):
+        if quantize_scale is not None:
+            return _centroid_scores_int(col, centroids, quantize_scale)
+        return _centroid_scores(col, centroids)
 
     csig = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
-        F.array_min(_centroid_scores(vec_col, centroids))["j"].alias("_cl"),
+        F.array_min(scores(vec_col))["j"].alias("_cl"),
     )
     probes = F.transform(
-        F.slice(F.array_sort(_centroid_scores(vec_col, centroids)), 1, nprobe),
+        F.slice(F.array_sort(scores(vec_col)), 1, nprobe),
         lambda s: s["j"],
     )
     qsig = queries.select(

@@ -141,20 +141,48 @@ def last_marker_propagation(
     return lines.withColumn("current_marker", F.last(marker_col, ignorenulls=True).over(w))
 
 
+def _epoch_seconds(df: DataFrame, ts_col: str):
+    """Timezone-free epoch seconds for gap arithmetic. A TIMESTAMP (ltz)
+    column casts to exact epoch directly; a TIMESTAMP_NTZ column is
+    measured against an NTZ epoch literal with ``timestampdiff`` — never
+    routed through the session timezone, whose offset is NOT constant
+    across a DST transition (a ±1h step would flip session boundaries near
+    the gap threshold)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+        )
+    return F.col(ts_col).cast("timestamp").cast("long")
+
+
 def sessionize(
-    df: DataFrame, key: str = "conv_id", ts_col: str = "ts", gap_minutes: int = 30
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    id_mode: str = "seq",
 ) -> DataFrame:
     """Gap-based sessionization within a key: new session when the time gap
     from the previous event exceeds ``gap_minutes`` (lag + cumsum pattern).
-    Adds ``session_id`` = ``<key>#<n>``."""
+
+    ``id_mode='seq'`` labels sessions ``<key>#<n>`` (1-based sequence);
+    ``id_mode='start_ts'`` labels ``<key>#<epoch seconds of the session's
+    first event>`` — content-derived ids that stay collision-free even when
+    a streaming deployment evicts and recreates per-key state (see
+    streaming.stream_extract.streaming_sessionize)."""
     w = W.partitionBy(key).orderBy(ts_col)
-    # via timestamp: TIMESTAMP_NTZ has no direct long cast; any session-tz
-    # offset is constant and cancels in the gap subtraction
-    tsec = F.col(ts_col).cast("timestamp").cast("long")
+    tsec = _epoch_seconds(df, ts_col)
     gap = tsec - F.lag(tsec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
-    sess_n = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
-    return df.withColumn("session_id", F.concat(F.col(key), F.lit("#"), sess_n.cast("string")))
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+    if id_mode == "start_ts":
+        start = F.max(F.when(is_new == 1, tsec)).over(cum)
+        label = start.cast("string")
+    else:
+        label = F.sum(is_new).over(cum).cast("string")
+    return df.withColumn("session_id", F.concat(F.col(key), F.lit("#"), label))
 
 
 def skew_safe_conv_stats(df: DataFrame, bucket_size: int = 1000) -> DataFrame:

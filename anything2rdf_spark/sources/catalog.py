@@ -5,6 +5,19 @@ At target scale every stage materializes to partitioned **Iceberg** tables
 Iceberg's jars are not on this sandbox's classpath, so the catalog writes
 partitioned parquet directories with the same layout and falls back
 transparently — the pipeline code is identical either way.
+
+Vendoring attempts (blocked by environment, re-checked every round —
+r3 verified 2026-08-16):
+* no ``iceberg-spark-runtime`` jar anywhere on disk
+  (``find / -iname '*iceberg*'`` → empty; ``$SPARK_HOME/jars`` has none);
+* no ``pyiceberg`` package installed;
+* no network: DNS resolution fails for both the pip index
+  (``Name or service not known`` for the configured artifactory mirror)
+  and ``repo1.maven.org``, so neither ``pip download pyiceberg`` nor a
+  direct runtime-jar fetch can succeed.
+The parquet stand-in keeps Iceberg's load-bearing properties: bucket
+partition layout, schema sidecar, atomic commit marker for idempotent
+resume, and per-partition lineage metrics on write.
 """
 
 from __future__ import annotations

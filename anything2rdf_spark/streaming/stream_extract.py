@@ -62,7 +62,7 @@ def run_stream_to_memory(spark: SparkSession, src_path: str, name: str = "stream
 
 # --- custom stateful operator: streaming gap-sessionization ----------------
 
-SESSION_STATE_SCHEMA = "last_ts long, session_n int"
+SESSION_STATE_SCHEMA = "last_ts long, session_start long"
 SESSION_OUTPUT_SCHEMA = (
     "conv_id string, turn_idx int, ts timestamp, session_id string"
 )
@@ -74,15 +74,22 @@ def streaming_sessionize(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``:
-    per-conversation state carries (last event-time seconds, session
-    counter); a gap > ``gap_minutes`` opens a new session. The streaming
-    analog of operators.windows.sessionize (equality with the batch
-    operator is test-enforced on in-order replays; out-of-order arrivals
-    within the watermark are sessionized in arrival order, which is the
-    documented semantic difference of the streaming variant).
+    per-conversation state carries (last event-time seconds, current session
+    start seconds); a gap > ``gap_minutes`` opens a new session. The
+    streaming analog of ``operators.windows.sessionize(id_mode='start_ts')``
+    — equality with the batch operator is test-enforced on in-order replays;
+    out-of-order arrivals within the watermark are sessionized in arrival
+    order, which is the documented semantic difference of the streaming
+    variant.
 
-    State size is O(active conversations) × 12 bytes — bounded, and GC'd by
-    the watermark timeout at 10^12-turn scale.
+    State size is O(active conversations) × 16 bytes, and state IS evicted:
+    ``EventTimeTimeout`` fires once the watermark passes the conversation's
+    ``last_ts + gap`` — at that point no admissible future event (all have
+    ts ≥ watermark > last_ts + gap) could extend the current session, so the
+    state is dead weight and is removed. A conversation that returns later
+    necessarily opens a new session; ids are keyed on the session's first
+    event time (``conv#<start_epoch>``), so ids from before and after an
+    eviction can never collide (a sequence counter would restart at 1).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -91,20 +98,35 @@ def streaming_sessionize(
 
     def fn(key, pdfs, state: GroupState):
         (conv_id,) = key
+        if state.hasTimedOut:
+            # watermark > last_ts + gap: no admissible event can extend
+            # this session — drop the state, emit nothing
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [], "turn_idx": [], "ts": [], "session_id": []}
+            )
+            return
         if state.exists:
-            last_ts, session_n = state.get
+            last_ts, session_start = state.get
         else:
-            last_ts, session_n = None, 0
+            last_ts, session_start = None, None
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "turn_idx"])
             for ts, turn_idx in zip(pdf["ts"], pdf["turn_idx"]):
                 tsec = int(pd.Timestamp(ts).timestamp())
                 if last_ts is None or tsec - last_ts > gap_s:
-                    session_n += 1
+                    session_start = tsec
                 last_ts = tsec
-                out.append((conv_id, int(turn_idx), ts, f"{conv_id}#{session_n}"))
-        state.update((last_ts, session_n))
+                out.append((conv_id, int(turn_idx), ts, f"{conv_id}#{session_start}"))
+        state.update((last_ts, session_start))
+        # evict once the watermark proves the session can't continue; the
+        # timeout timestamp must sit above the current watermark, which can
+        # already exceed last_ts + gap when this conversation's events lag
+        # the stream's max event time
+        state.setTimeoutTimestamp(
+            max((last_ts + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "ts", "session_id"])
 
     return (
@@ -115,7 +137,7 @@ def streaming_sessionize(
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

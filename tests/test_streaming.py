@@ -58,7 +58,9 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     late.coalesce(1).sortWithinPartitions("conv_id", "ts", "turn_idx").write.mode("append").parquet(src)
 
     got = SE.run_sessionize_stream_to_memory(spark, src, name="t_sess")
-    want = sessionize(ts, gap_minutes=30)
+    # streaming ids are keyed on session start time (collision-free across
+    # state evictions) — compare against the batch operator's start_ts mode
+    want = sessionize(ts, gap_minutes=30, id_mode="start_ts")
 
     g = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in got.collect()}
     w = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in want.collect()}
