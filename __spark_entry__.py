@@ -1476,6 +1476,142 @@ def _pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.triples()
 
 
+# kg_scalar_suite — one driver row covering the pytest-only scalar-function
+# ids (F2 unCamelCase, F5 IRI fallback, F6 punct trim, F9 abbreviation
+# expansion, F10 wiki-markup strip, F13 makeDateString, F15/F16 month maps +
+# English ordinal dates, F19 partial-date repair, F22 zero-pad, F23 embedded
+# ids, F24 wikipedia→dbpedia, F25 statute ids, F26 language codes, F27
+# gender codes) by calling each SHIPPED function over a fixed literal input
+# table mirrored as VALUES in DuckDB. Inputs avoid the one engine-semantics
+# gap (Spark's java-regex lookahead in expand_abbreviations vs RE2 \b —
+# equivalent whenever the abbreviation is followed by space/EOL, which the
+# fixture guarantees; the general case is pytest-pinned).
+_SCALAR_ROWS = [
+    (1, "SpeechActThing", "--Hello, world!--", "NYC is big",
+     "[[Target|Label]] and '''bold'''", "1771", "3", "", "4th May 1771",
+     "1771-00-00", 7, "see (123) and (4567)",
+     "https://en.wikipedia.org/wiki/Turku", "14.6.1928/0161", "Finnish", "M",
+     "http://ok.example/x"),
+    (2, "plainlower", "...", "go to LA now", "[[JustTarget]]",
+     "1771", "", "", "May 1771", "1771-03-00", 42, "none here",
+     "http://wikipedia.org/wiki/X", "2000:45", "Klingon", "f", "not a iri"),
+    (3, "ABCDef", "¡hola!", "LA LAX stays", "no markup",
+     "1650", "12", "5", "1771", "1/2/1934", 12345678, "(1)(2)(3)",
+     "https://fi.wikipedia.org/wiki/Åbo", "1928/0007", "French", "X", None),
+    (4, "XMLHttpRequest", "", "NYC NYCX mixed", "''italic'' x",
+     "-44", "9", "7", "22nd March 1771", "garbage", 0, "",
+     "https://example.org/wiki/NotWiki", "07.1.2001/0012", "English", "F",
+     "ftp://fine/abc"),
+]
+_SCALAR_SCHEMA = (
+    "cid int, camel string, punct string, abbrev string, markup string, "
+    "y string, m string, d string, eng string, partial string, num int, "
+    "idlist string, wiki_url string, statute string, lang string, "
+    "gender string, iri_cand string"
+)
+
+
+def _kg_scalar_suite_spark(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(_SCALAR_ROWS, _SCALAR_SCHEMA)
+    rp = DT.repair_partial_date("partial")
+    return df.select(
+        "cid",
+        iri.un_camel_case("camel").alias("uncamel"),
+        TX.punct_trim("punct").alias("trimmed"),
+        TX.expand_abbreviations(
+            "abbrev", {"NYC": "New York City", "LA": "Los Angeles"}
+        ).alias("expanded"),
+        TX.strip_wiki_markup("markup").alias("stripped"),
+        DT.make_date_string("y", "m", "d").alias("date_str"),
+        DT.english_date("eng", earliest=True).alias("eng_begin"),
+        DT.english_date("eng", earliest=False).alias("eng_end"),
+        rp["begin"].alias("rp_begin"),
+        rp["end"].alias("rp_end"),
+        TX.zero_pad_id("num", 8).alias("padded"),
+        F.array_join(TX.extract_embedded_ids("idlist"), ",").alias("ids_csv"),
+        TX.wikipedia_to_dbpedia("wiki_url").alias("dbpedia"),
+        TX.normalize_statute_id("statute").alias("statute_norm"),
+        TX.language_code("lang").alias("lang_iso"),
+        TX.gender_label("gender").alias("gender_lbl"),
+        iri.valid_iri_or_fallback("iri_cand", F.lit(NS + "fallback")).alias("iri_ok"),
+    )
+
+
+def _scalar_oracle() -> str:
+    from anything2rdf_spark.functions.dates import MONTH_LAST_DAY, MONTHS
+    from anything2rdf_spark.functions.text import LANGUAGE_NAME_TO_ISO
+
+    def case_map(col: str, pairs: list[tuple[str, str]], default: str) -> str:
+        whens = " ".join(f"WHEN {_lit(k)} THEN {_lit(v)}" for k, v in pairs)
+        return f"CASE {col} {whens} ELSE {default} END"
+
+    mn = lambda c: case_map(c, [(m, f"{i + 1:02d}") for i, m in enumerate(MONTHS)], "''")  # noqa: E731
+    mld = lambda c: case_map(c, list(zip(MONTHS, MONTH_LAST_DAY)), "NULL")  # noqa: E731
+    lang_case = case_map("lang", sorted(LANGUAGE_NAME_TO_ISO.items()), "NULL")
+    rows = _sql_values(
+        [(r[0], *r[1:]) for r in _SCALAR_ROWS],
+        "cid, camel, punct, abbrev, markup, y, m, d, eng, partial, num, "
+        "idlist, wiki_url, statute, lang, gender, iri_cand",
+    )
+    slash = r"(\d{1,2})/(\d{1,2})/(\d{4})"
+    last_day_of_partial = (
+        "lpad(CAST(day(last_day(CAST(substr(partial,1,4) || '-' || "
+        "substr(partial,6,2) || '-01' AS DATE))) AS VARCHAR), 2, '0')"
+    )
+    return f"""
+WITH t AS (SELECT * FROM {rows}),
+e AS (
+  SELECT t.*, string_split(eng, ' ') AS ep,
+         regexp_replace(string_split(eng, ' ')[1], '(th|st|rd|nd)', '', 'g') AS eday
+  FROM t
+)
+SELECT CAST(cid AS INT) AS cid,
+  regexp_replace(camel, '(\\p{{Ll}})(\\p{{Lu}})', '\\1 \\2', 'g') AS uncamel,
+  regexp_extract(punct, '^[^\\p{{L}}\\p{{N}}]*(.*?)[^\\p{{L}}\\p{{N}}]*$', 1) AS trimmed,
+  regexp_replace(regexp_replace(abbrev, '\\bNYC\\b', 'New York City', 'g'),
+                 '\\bLA\\b', 'Los Angeles', 'g') AS expanded,
+  regexp_replace(regexp_replace(regexp_replace(markup,
+      '\\[\\[[^\\]|]*\\|([^\\]]*)\\]\\]', '\\1', 'g'),
+      '\\[\\[([^\\]]*)\\]\\]', '\\1', 'g'),
+      '''''''?', '', 'g') AS stripped,
+  CASE WHEN m = '' THEN y WHEN d = '' THEN y || '-' || m
+       ELSE y || '-' || m || '-' || d END AS date_str,
+  CASE WHEN len(ep) = 3 THEN ep[3] || '-' || {mn('ep[2]')} || '-' || eday
+       WHEN len(ep) = 2 THEN ep[2] || '-' || {mn('ep[1]')} || '-01'
+       ELSE ep[1] || '-01-01' END AS eng_begin,
+  CASE WHEN len(ep) = 3 THEN ep[3] || '-' || {mn('ep[2]')} || '-' || eday
+       WHEN len(ep) = 2 THEN ep[2] || '-' || {mn('ep[1]')} || '-' || {mld('ep[1]')}
+       ELSE ep[1] || '-12-31' END AS eng_end,
+  CASE WHEN partial LIKE '%-00-00' THEN substr(partial,1,4) || '-01-01'
+       WHEN partial LIKE '%-00' THEN substr(partial,1,4) || '-' || substr(partial,6,2) || '-01'
+       WHEN regexp_extract(partial, '{slash}', 0) <> '' THEN
+            regexp_extract(partial, '{slash}', 3) || '-' ||
+            lpad(regexp_extract(partial, '{slash}', 1), 2, '0') || '-' ||
+            lpad(regexp_extract(partial, '{slash}', 2), 2, '0')
+       ELSE NULL END AS rp_begin,
+  CASE WHEN partial LIKE '%-00-00' THEN substr(partial,1,4) || '-12-31'
+       WHEN partial LIKE '%-00' THEN substr(partial,1,4) || '-12-' || {last_day_of_partial}
+       WHEN regexp_extract(partial, '{slash}', 0) <> '' THEN
+            regexp_extract(partial, '{slash}', 3) || '-' ||
+            lpad(regexp_extract(partial, '{slash}', 1), 2, '0') || '-' ||
+            lpad(regexp_extract(partial, '{slash}', 2), 2, '0')
+       ELSE NULL END AS rp_end,
+  lpad(num, 8, '0') AS padded,
+  coalesce(array_to_string(regexp_extract_all(idlist, '\\((\\d+)\\)', 1), ','), '') AS ids_csv,
+  regexp_replace(wiki_url, '^https?://[a-z]*\\.?wikipedia\\.org/wiki/',
+                 'http://dbpedia.org/resource/') AS dbpedia,
+  regexp_replace(replace(statute, ':', '/'),
+                 '^(?:\\d{{1,2}}\\.\\d{{1,2}}\\.)?(\\d{{4}})/0*(\\d+)$', '\\1/\\2') AS statute_norm,
+  {lang_case} AS lang_iso,
+  CASE WHEN lower(gender) = 'm' THEN 'male'
+       WHEN lower(gender) = 'f' THEN 'female' ELSE NULL END AS gender_lbl,
+  CASE WHEN iri_cand IS NOT NULL AND regexp_matches(iri_cand,
+         '^[A-Za-z][A-Za-z0-9+.-]*://[^\\s<>"{{}}|\\\\^`]+$')
+       THEN iri_cand ELSE '{NS}fallback' END AS iri_ok
+FROM e
+"""
+
+
 # kg_pipeline_pred_counts — the COMPOSITION gate the r2 judge asked for
 # (missing #2): run the REAL staged Pipeline (normalize → extract → link →
 # canonicalize → materialize, checkpoints and all) over the deterministic
@@ -1664,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multivalue_split": _pq(_kg_split_spark),
         "kg_path_hierarchy": _pq(_kg_path_spark),
         "kg_code_table_join": _pq(_kg_code_spark),
+        "kg_scalar_suite": _pq(_kg_scalar_suite_spark),
         # training-data extras (package-routed)
         "dedup_exact": _pq(_dedup_exact_spark),
         "dedup_fingerprint": _pq(_fingerprint_spark),
@@ -1713,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_multivalue_split": _KG_SPLIT_ORACLE,
         "kg_path_hierarchy": _KG_PATH_ORACLE,
         "kg_code_table_join": _KG_CODE_ORACLE,
+        "kg_scalar_suite": _scalar_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_fingerprint": _FINGERPRINT_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
