@@ -75,25 +75,18 @@ class Catalog:
         collect_partition_counts: bool = False,
     ) -> dict[int, int] | None:
         """Write a checkpoint table. With ``collect_partition_counts`` the
-        per-bucket row counts ride along as ``df.observe`` metrics on the
-        SAME write job (no read-back scan of the checkpoint — at 100 TB a
-        count-over-read-back is a full extra pass per stage)."""
-        from pyspark.sql import Observation
-
-        obs = None
+        per-bucket row counts come from the freshly-written parquet FOOTERS
+        — a metadata-only read (O(files), not O(rows)): no data-scan
+        read-back (at 100 TB that's a full extra pass per stage), and no
+        per-row observe aggregates either (r2 rode a 32-way ``count_if``
+        observe on the write, which measured ~3s/stage of interpreted
+        per-row accumulator work at sf0.1). On a real cluster this footer
+        read is the Iceberg manifest row-count lookup the table commit
+        already maintains."""
         if bucket_col and bucket_col in df.columns:
             out = df.withColumn(
                 "pbucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets))
             )
-            if collect_partition_counts:
-                obs = Observation()
-                out = out.observe(
-                    obs,
-                    *[
-                        F.count_if(F.col("pbucket") == i).alias(f"b{i}")
-                        for i in range(self.n_buckets)
-                    ],
-                )
             (
                 # hash write-distribution (Iceberg write.distribution-mode=hash):
                 # co-locate each bucket in one task so the layout is
@@ -104,21 +97,45 @@ class Catalog:
                 .parquet(self.path(table))
             )
         else:
-            out = df
-            if collect_partition_counts:
-                obs = Observation()
-                out = out.observe(obs, F.count(F.lit(1)).alias("b0"))
-            out.write.mode("overwrite").parquet(self.path(table))
+            df.write.mode("overwrite").parquet(self.path(table))
         # schema sidecar: empty tables write no parquet footers, so the
         # reader needs the schema from here (Iceberg would carry it in
         # table metadata). Written AFTER the parquet commit — exists()
         # requires both, closing the partial-overwrite resume hole.
         with open(os.path.join(self.path(table), "_schema.json"), "w") as f:
             f.write(df.schema.json())
-        if obs is not None:
-            vals = obs.get
-            return {int(k[1:]): v for k, v in vals.items() if v}
+        if collect_partition_counts:
+            return self._partition_counts_from_footers(table)
         return None
+
+    def _partition_counts_from_footers(self, table: str) -> dict[int, int]:
+        """Per-bucket row counts from parquet footer metadata (num_rows per
+        file, summed per pbucket directory). Unpartitioned tables report
+        bucket 0. Metadata-only: reads no row data."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        root = self.path(table)
+        counts: dict[int, int] = {}
+        part_dirs = glob.glob(os.path.join(root, "pbucket=*"))
+        if part_dirs:
+            for d in part_dirs:
+                b = int(d.rsplit("=", 1)[1])
+                n = sum(
+                    pq.ParquetFile(fp).metadata.num_rows
+                    for fp in glob.glob(os.path.join(d, "*.parquet"))
+                )
+                if n:
+                    counts[b] = n
+        else:
+            n = sum(
+                pq.ParquetFile(fp).metadata.num_rows
+                for fp in glob.glob(os.path.join(root, "*.parquet"))
+            )
+            if n:
+                counts[0] = n
+        return counts
 
     def read(self, table: str) -> DataFrame:
         from pyspark.sql import types as T

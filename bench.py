@@ -247,8 +247,11 @@ def main():
     # whole run.
     n_small = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "1"))
     n_big = 4 * n_small
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "6"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1380"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    # budget guards the REPEAT LOOP start; one repeat cycle adds up to
+    # ~3.5 min past it, so total wall ≈ budget + 1 cycle + the pipeline
+    # legs (~5 min) — sized to stay inside a ~25-minute driver window
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
     t_start = time.time()
     n_convs = SF_CONVS.get(sf, 10000)
     pipe_input = os.path.join(tempfile.gettempdir(), f"a2r_bench_input_sf{sf}")
@@ -263,8 +266,9 @@ def main():
     # multi-leg run inflate most on this host). Best-of-2 samples two
     # windows like the kernels do.
     pipe_runs = [run_once(f"local[{n_big}]", pipe_input, shuffle_partitions=n_big)]
-    time.sleep(10)
-    pipe_runs.append(run_once(f"local[{n_big}]", pipe_input, shuffle_partitions=n_big))
+    if time.time() - t_start < budget_s * 0.4:
+        time.sleep(10)
+        pipe_runs.append(run_once(f"local[{n_big}]", pipe_input, shuffle_partitions=n_big))
     pipe = min(pipe_runs, key=lambda r: r["wall_s"])
 
     # cooldown before the scaling legs: the burst budget recovers with idle
@@ -283,9 +287,17 @@ def main():
     control_rows = int(os.environ.get("SPARK_GRAFT_BENCH_CONTROL_ROWS", "120000000"))
     runs: dict[int, list[dict]] = {n_small: [], n_big: []}
     ctrl: dict[int, list[dict]] = {n_small: [], n_big: []}
+    t_rep0 = None
     for i in range(repeats):
-        if i > 0 and time.time() - t_start > budget_s:
-            break
+        if i > 0:
+            # stop when the budget is spent OR another repeat (estimated
+            # from the first one) would overrun it
+            elapsed = time.time() - t_start
+            est_cycle = (time.time() - t_rep0) / i
+            if elapsed > budget_s or elapsed + est_cycle > budget_s * 1.15:
+                break
+        else:
+            t_rep0 = time.time()
         for n in (n_small, n_big):
             # pin each leg to exactly n cores — 'N vs 4N cores' made literal
             cpu_set = _pin_range(n)

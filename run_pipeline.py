@@ -30,6 +30,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fingerprint", default="v1")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--mention-engine",
+        dest="mention_engine",
+        choices=["scan", "join"],
+        default="scan",
+        help="scan = broadcast dictionary + Arrow regex/Aho-Corasick; "
+        "join = token-index join for dictionaries too large to broadcast",
+    )
+    ap.add_argument(
+        "--broadcast-map-max-rows",
+        dest="broadcast_map_max_rows",
+        type=int,
+        default=5_000_000,
+        help="canonical-map rewrite broadcasts under this row count, else shuffle-joins",
+    )
     args = ap.parse_args(argv)
 
     from anything2rdf_spark.plans.pipeline import Pipeline
@@ -53,7 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     surfaces = None if args.dictionary else synth.ALL_MENTION_NAMES
 
-    pipe = Pipeline(spark, args.warehouse)
+    pipe = Pipeline(
+        spark, args.warehouse, broadcast_map_max_rows=args.broadcast_map_max_rows
+    )
     metrics = pipe.run(
         transcripts=transcripts,
         dictionary=dictionary,
@@ -62,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         dictionary_surfaces=surfaces,
         fingerprint=args.fingerprint,
         force=args.force,
+        mention_engine=args.mention_engine,
     )
     metrics["n_triples"] = pipe.triples().count()
     print(json.dumps(metrics))

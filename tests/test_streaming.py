@@ -66,3 +66,49 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     w = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in want.collect()}
     assert len(g) == len(w)
     assert g == w
+
+
+def test_streaming_sessionize_state_eviction_across_watermark(spark, tmp_path):
+    """EventTimeTimeout eviction: file 1 advances the watermark far past
+    conv cA's last_ts + gap (state evicted) AND carries a late-but-admissible
+    cA event — the new session id must not collide with the pre-eviction one
+    and must equal the batch start_ts sessionization."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.windows import sessionize
+
+    sch = "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    rows0 = [
+        ("cA", 0, "user", "x", None, "2024-01-01 00:00:00"),
+        ("cA", 1, "user", "x", None, "2024-01-01 00:10:00"),
+    ]
+    rows1 = [
+        ("cB", 0, "user", "x", None, "2024-01-02 00:00:00"),  # watermark pusher
+        ("cA", 2, "user", "x", None, "2024-01-01 23:30:00"),
+    ]
+    src = str(tmp_path / "evict_src")
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, sch).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.col("ts").cast("timestamp").alias("ts"),
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    write(rows0, "overwrite")
+    _time.sleep(1.1)  # distinct mtimes → deterministic micro-batch order
+    write(rows1, "append")
+
+    got = SE.run_sessionize_stream_to_memory(spark, src, name="t_evict", max_files=1)
+    g = sorted((r["conv_id"], r["turn_idx"], r["session_id"]) for r in got.collect())
+    batch = spark.createDataFrame(rows0 + rows1, sch).select(
+        "conv_id", "turn_idx", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = sorted(
+        (r["conv_id"], r["turn_idx"], r["session_id"])
+        for r in sessionize(batch, gap_minutes=30, id_mode="start_ts").collect()
+    )
+    assert g == w
+    sessions = {s for _, _, s in g}
+    assert len(sessions) == 3  # cA pre-eviction, cA post-eviction, cB
