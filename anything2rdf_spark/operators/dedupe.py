@@ -232,7 +232,8 @@ def _block_bounds(blocks: int) -> list[int]:
 
 
 def hamming_candidates_from_sigs(
-    sig: DataFrame, max_hamming: int = 3, blocks: int = 4
+    sig: DataFrame, max_hamming: int = 3, blocks: int = 4,
+    max_bucket: int | None = 100_000, log_dropped: bool = False,
 ) -> DataFrame:
     """Blocked Hamming join over an (id, sig) relation.
 
@@ -241,7 +242,15 @@ def hamming_candidates_from_sigs(
     an exact block key → found by the equi-join. ``blocks`` is auto-raised
     to ``max_hamming + 1`` when the caller's value would break that
     precondition (the round-1 default of 4 blocks with max_hamming=8
-    silently dropped true pairs at distance 4-8)."""
+    silently dropped true pairs at distance 4-8).
+
+    ``max_bucket`` is the hot-bucket guard shared with the other LSH
+    self-joins: a (blk, key) bucket holding > max_bucket signatures (e.g. a
+    corpus of near-identical boilerplate) would make the equi-join quadratic
+    in that bucket, so its rows are dropped from the join (broadcast
+    anti-join of the few hot keys). A pair whose ONLY shared block was
+    dropped is lost — subset semantics under the cap; pass
+    ``max_bucket=None`` for the exact pigeonhole guarantee."""
     if blocks < max_hamming + 1:
         blocks = max_hamming + 1
     bounds = _block_bounds(blocks)
@@ -262,6 +271,19 @@ def hamming_candidates_from_sigs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.blk", "bb.key")
+    if max_bucket is not None:
+        from .similarity import cap_buckets, oversized_buckets
+
+        if log_dropped:
+            import logging
+
+            dropped = oversized_buckets(blocked, ["blk", "key"], max_bucket).collect()
+            if dropped:
+                logging.getLogger(__name__).warning(
+                    "simhash blocked join: dropping %d oversized (blk,key) buckets "
+                    "(max_bucket=%d)", len(dropped), max_bucket,
+                )
+        blocked = cap_buckets(blocked, ["blk", "key"], max_bucket)
     return (
         blocked.alias("l")
         .join(
@@ -282,13 +304,17 @@ def hamming_candidates_from_sigs(
 
 def simhash_hamming_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
-    blocks: int = 4, hash_mode: str = "xxhash64",
+    blocks: int = 4, hash_mode: str = "xxhash64", max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """SimHash near-dup candidates: block the 64-bit signature; by
     pigeonhole (blocks partition the bits and are auto-raised to
     max_hamming+1), any pair within ``max_hamming`` shares at least one
     exact block → equi-join per block, then exact Hamming filter via
-    bit_count(xor). The blocking is a pure optimization: the returned row
-    set is exactly {pairs with hamming ≤ max_hamming}."""
+    bit_count(xor). With ``max_bucket=None`` the blocking is a pure
+    optimization (returned set is exactly {pairs with hamming ≤
+    max_hamming}); the finite default additionally drops degenerate hot
+    (blk,key) buckets — see ``hamming_candidates_from_sigs``."""
     sig = df.select(F.col(id_col).alias("id"), simhash64(text_col, hash_mode=hash_mode).alias("sig"))
-    return hamming_candidates_from_sigs(sig, max_hamming=max_hamming, blocks=blocks)
+    return hamming_candidates_from_sigs(
+        sig, max_hamming=max_hamming, blocks=blocks, max_bucket=max_bucket
+    )

@@ -192,15 +192,16 @@ def cap_buckets(df: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataF
     """Drop every row whose bucket holds more than ``max_bucket`` rows — the
     hot-bucket guard for LSH self-joins: a degenerate bucket (near-identical
     corpus, too few planes) makes the within-bucket self-join quadratic in
-    that one bucket. The count is a window over the same keys the join
-    shuffles on (no extra exchange). Dropping a bucket loses its candidate
-    pairs by design — the remedy for a persistently hot bucket is more
-    planes, not a bigger cap; use ``oversized_buckets`` to see what a cap
-    would drop."""
-    from pyspark.sql import Window as W
-
-    cnt = F.count("*").over(W.partitionBy(*bucket_cols))
-    return df.withColumn("_bn", cnt).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    that one bucket. Implemented as a partial-aggregated bucket count
+    (map-side combine → the shuffled relation is one row per bucket, not the
+    data) + broadcast anti-join of the few oversized keys — deliberately NOT
+    a count-window over the bucket, which would buffer the hot bucket's rows
+    in a single window partition (the very skew being guarded). Dropping a
+    bucket loses its candidate pairs by design — the remedy for a
+    persistently hot bucket is more planes, not a bigger cap; use
+    ``oversized_buckets`` to see what a cap would drop."""
+    hot = oversized_buckets(df, bucket_cols, max_bucket).select(*bucket_cols)
+    return df.join(F.broadcast(hot), bucket_cols, "left_anti")
 
 
 def oversized_buckets(df: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:

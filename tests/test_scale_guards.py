@@ -61,6 +61,27 @@ def test_neardup_hot_bucket_cap(spark):
     )
 
 
+def test_simhash_hot_bucket_cap(spark):
+    # identical texts → identical signatures → every (blk, key) bucket holds
+    # all 40 rows; the cap empties the join, max_bucket=None keeps all pairs
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate page footer text").alias("text")
+    )
+    uncapped = DD.simhash_hamming_candidates(docs, max_hamming=3, max_bucket=None)
+    capped = DD.simhash_hamming_candidates(docs, max_hamming=3, max_bucket=10)
+    assert uncapped.count() == 40 * 39 // 2
+    assert capped.count() == 0
+    # a varied corpus below the cap is untouched by the default
+    varied = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id").cast("string"), F.lit(" unique words here")).alias("text"),
+    )
+    assert (
+        DD.simhash_hamming_candidates(varied, max_hamming=3).count()
+        == DD.simhash_hamming_candidates(varied, max_hamming=3, max_bucket=None).count()
+    )
+
+
 def test_jaccard_df_cap_is_default(spark):
     # one stop-shingle ("the common tail") shared by every doc; unique heads.
     # With the default max_df the stop-shingle is excluded from the join →
