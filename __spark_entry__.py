@@ -35,15 +35,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from anything2rdf_spark import (  # noqa: E402
     NS,
+    OWL_INVERSEOF,
     RDF_OBJECT,
     RDF_PREDICATE,
     RDF_STATEMENT,
     RDF_SUBJECT,
+    RDFS_SUBCLASSOF,
     OWL_SAMEAS,
     RDF_TYPE,
     SCHEMA_NS,
     SKOS_ALT_LABEL,
     SKOS_PREF_LABEL,
+    XSD_BOOLEAN,
     XSD_DATETIME,
     XSD_INTEGER,
 )
@@ -53,7 +56,9 @@ from anything2rdf_spark.functions import text as TX  # noqa: E402
 from anything2rdf_spark.operators import canonicalize as CN  # noqa: E402
 from anything2rdf_spark.operators import dedupe as DD  # noqa: E402
 from anything2rdf_spark.operators import extract as EX  # noqa: E402
+from anything2rdf_spark.operators import hierarchy as HC  # noqa: E402
 from anything2rdf_spark.operators import link as LK  # noqa: E402
+from anything2rdf_spark.operators import melt as MT  # noqa: E402
 from anything2rdf_spark.operators import reify as RF  # noqa: E402
 from anything2rdf_spark.operators import similarity as SM  # noqa: E402
 from anything2rdf_spark.operators import textstats as TS  # noqa: E402
@@ -1769,6 +1774,218 @@ SELECT pred, count(*) AS n FROM ded GROUP BY pred
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 widening: driver-oracle rows for ids that previously had only
+# pytest coverage (A2, A4, J2, W4, P5, P8, E2/E6/E7). Spark side = shipped
+# package operators over the sf tables (literal dims where the reference
+# uses driver-side dictionaries); oracle = DuckDB re-derivation.
+# ---------------------------------------------------------------------------
+
+# kg_min_dup_map — A2 (canonicalize.min_dup_map, schoenbergcsv2rdf.scala:135)
+# over the events edge list (user → event).
+def _kg_min_dup_spark(spark: SparkSession) -> DataFrame:
+    edges = spark.table("events").select(
+        F.col("user_id").alias("src_id"), F.col("event_id").alias("dst_id")
+    )
+    return CN.min_dup_map(edges)
+
+
+_KG_MIN_DUP_ORACLE = (
+    "SELECT user_id AS src_id, min(event_id) AS min_dup FROM events GROUP BY user_id"
+)
+
+
+# kg_label_set_dedup — A4 (melt.label_set_dedup, VIAFXML2RDF.scala:143-144):
+# per-language label sets over documents; alt surface 'src<doc_id%25>'
+# guarantees pref/alt overlap so array_except genuinely removes entries.
+def _kg_labelset_spark(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents").select(
+        "lang",
+        F.col("source").alias("pref"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 25).cast("string")).alias("alt"),
+    )
+    out = MT.label_set_dedup(docs, "lang", "pref", "alt")
+    return out.select(
+        "lang",
+        F.array_sort("pref_labels").alias("pref_labels"),
+        F.array_sort("alt_labels").alias("alt_labels"),
+    )
+
+
+_KG_LABELSET_ORACLE = """
+WITH d AS (
+  SELECT lang, source AS pref, 'src' || CAST(doc_id % 25 AS VARCHAR) AS alt
+  FROM documents
+),
+g AS (
+  SELECT lang, list_sort(list(DISTINCT pref)) AS pl, list(DISTINCT alt) AS al
+  FROM d GROUP BY lang
+)
+SELECT lang, pl AS pref_labels,
+       list_sort(list_filter(al, x -> NOT list_contains(pl, x))) AS alt_labels
+FROM g
+"""
+
+
+# kg_composite_key_join — J2 (link.composite_key_link,
+# HelmetMARC2ISBNRDF.scala:79-101): (lang, source) composite probe into a
+# broadcast dim.
+_CKJ_DIM_ROWS = [
+    (lang, f"src{i}", f"coll_{lang}_{i}") for lang in ("en", "fr") for i in range(5)
+]
+
+
+def _kg_ckj_spark(spark: SparkSession) -> DataFrame:
+    dim = spark.createDataFrame(
+        _CKJ_DIM_ROWS, "lang string, source string, collection string"
+    )
+    facts = spark.table("documents").select("doc_id", "lang", "source")
+    return LK.composite_key_link(facts, dim, ["lang", "source"], "collection")
+
+
+_KG_CKJ_ORACLE = f"""
+SELECT d.doc_id, d.lang, d.source, t.collection
+FROM documents d
+LEFT JOIN {_sql_values(_CKJ_DIM_ROWS, 'lang, source, collection')}
+  ON d.lang = t.lang AND d.source = t.source
+"""
+
+
+# kg_numeric_prefix — W4 (windows.numeric_prefix_hierarchy,
+# YKLXML2RDF.scala:50-51) over stringified doc ids.
+def _kg_numpref_spark(spark: SparkSession) -> DataFrame:
+    codes = spark.table("documents").select(F.col("doc_id").cast("string").alias("code"))
+    return WD.numeric_prefix_hierarchy(codes, "code")
+
+
+_KG_NUMPREF_ORACLE = """
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS code,
+       substr(CAST(doc_id AS VARCHAR), 1, length(CAST(doc_id AS VARCHAR)) - 1) AS broader
+FROM documents WHERE length(CAST(doc_id AS VARCHAR)) >= 2
+"""
+
+
+# kg_melt_route — P5 (melt.melt + generic_column_triples,
+# schoenbergcsv2rdf.scala:180-286): one mapped rule (lang), generic fallback
+# predicates (source, verified), Y/N → xsd:boolean.
+def _kg_melt_spark(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "Y").otherwise("N").alias("verified"),
+    )
+    rules = spark.createDataFrame(
+        [("lang", S + "inLanguage", None)], "col_name string, pred_iri string, obj_dtype string"
+    )
+    return MT.generic_column_triples(docs, ["doc_id"], iri.mint("doc", "doc_id"), rules=rules)
+
+
+_MELT_SUBJ = f"'{NS}doc_' || CAST(doc_id AS VARCHAR)"
+_KG_MELT_ORACLE = "\nUNION ALL\n".join(
+    [
+        _tsel(_MELT_SUBJ, f"'{S}inLanguage'", obj_lit="lang", src="documents",
+              where="lang IS NOT NULL AND trim(lang) <> ''", conv=_NULL_V, turn=_NULL_I),
+        _tsel(_MELT_SUBJ, f"'{S}source'", obj_lit="source", src="documents",
+              where="source IS NOT NULL AND trim(source) <> ''", conv=_NULL_V, turn=_NULL_I),
+        _tsel(_MELT_SUBJ, f"'{S}verified'",
+              obj_lit="CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END",
+              obj_dtype=f"'{XSD_BOOLEAN}'", src="documents",
+              conv=_NULL_V, turn=_NULL_I),
+    ]
+)
+
+
+# kg_consistency_violations — P8 (hierarchy.consistency_violations,
+# eecsv2rdf.scala:92-99): forbidden (lang, source) combinations surfaced as
+# a quarantine relation (consistency_check raises on the same relation).
+_P8_FORBIDDEN = [("zh", "src0"), ("de", "src1"), ("en", "src2")]
+
+
+def _kg_p8_spark(spark: SparkSession) -> DataFrame:
+    forbidden = spark.createDataFrame(_P8_FORBIDDEN, "lang string, source string")
+    return HC.consistency_violations(spark.table("documents"), forbidden, ["lang", "source"])
+
+
+_KG_P8_ORACLE = f"""
+SELECT d.* FROM documents d
+WHERE EXISTS (
+  SELECT 1 FROM {_sql_values(_P8_FORBIDDEN, 'lang, source')}
+  WHERE t.lang = d.lang AND t.source = d.source
+)
+"""
+
+
+# kg_ontology_triples — E2 (schema_triples EC/EOP/EDP) + E6 (static
+# subclass_of + dynamic_subclass_triples over document sources) + E7
+# (inverse_property_triples), one unioned ontology relation.
+_ONT_CLASSES = {S + "Document": "document", S + "Conversation": "conversation"}
+_ONT_OPROPS = {S + "partOf": "part of"}
+_ONT_DPROPS = {S + "fullText": "full text"}
+_ONT_SUBCLASS = {S + "ChatDocument": S + "Document"}
+_ONT_INV_PAIRS = [("has part", "part of")]
+
+
+def _kg_ontology_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators import schema_triples as STR
+
+    static = STR.schema_triples(
+        spark, _ONT_CLASSES, _ONT_OPROPS, _ONT_DPROPS, subclass_of=_ONT_SUBCLASS
+    )
+    dyn = HC.dynamic_subclass_triples(spark.table("documents"), "source", S + "Source")
+    inv = RF.inverse_property_triples(
+        spark.createDataFrame(_ONT_INV_PAIRS, "prop_label string, inverse_label string")
+    )
+    return static.unionByName(dyn).unionByName(inv)
+
+
+def _ontology_oracle() -> str:
+    from anything2rdf_spark.operators.schema_triples import (
+        OWL_CLASS,
+        OWL_DATATYPE_PROPERTY,
+        OWL_OBJECT_PROPERTY,
+    )
+
+    decls = (
+        [(i, lbl, OWL_CLASS) for i, lbl in _ONT_CLASSES.items()]
+        + [(i, lbl, OWL_OBJECT_PROPERTY) for i, lbl in _ONT_OPROPS.items()]
+        + [(i, lbl, OWL_DATATYPE_PROPERTY) for i, lbl in _ONT_DPROPS.items()]
+    )
+    sub = list(_ONT_SUBCLASS.items())
+    # propertyCamelCase of a two-word lowercase label, derived in SQL:
+    # word1 stays lower, word2 gets a capital head.
+    pcc = (
+        "lower(split_part({c}, ' ', 1)) || "
+        "upper(substr(split_part({c}, ' ', 2), 1, 1)) || "
+        "lower(substr(split_part({c}, ' ', 2), 2))"
+    )
+    return f"""
+WITH decls AS (SELECT * FROM {_sql_values(decls, 'i, lbl, kind')}),
+subs AS (SELECT * FROM {_sql_values(sub, 'child, parent')}),
+pairs AS (SELECT * FROM {_sql_values(_ONT_INV_PAIRS, 'p, q')}),
+named AS (
+  SELECT p, q, '{S}' || {pcc.format(c='p')} AS pi, '{S}' || {pcc.format(c='q')} AS qi
+  FROM pairs
+)
+{_tsel('i', f"'{RDF_TYPE}'", obj_iri='kind', src='decls', conv=_NULL_V, turn=_NULL_I)}
+UNION ALL
+{_tsel('i', f"'{SKOS_PREF_LABEL}'", obj_lit='lbl', obj_lang="'en'", src='decls',
+       where="lbl IS NOT NULL", conv=_NULL_V, turn=_NULL_I)}
+UNION ALL
+{_tsel('child', f"'{RDFS_SUBCLASSOF}'", obj_iri='parent', src='subs', conv=_NULL_V, turn=_NULL_I)}
+UNION ALL
+SELECT DISTINCT '{S}' || upper(substr(source, 1, 1)) || substr(source, 2) AS subj,
+       '{RDFS_SUBCLASSOF}' AS pred, '{S}Source' AS obj_iri,
+       {_NULL_V} AS obj_lit, {_NULL_V} AS obj_lang, {_NULL_V} AS obj_dtype,
+       {_NULL_V} AS conv_id, {_NULL_I} AS turn_idx
+FROM documents
+UNION ALL
+{_tsel('pi', f"'{OWL_INVERSEOF}'", obj_iri='qi', src='named', conv=_NULL_V, turn=_NULL_I)}
+UNION ALL
+{_tsel('qi', f"'{OWL_INVERSEOF}'", obj_iri='pi', src='named', conv=_NULL_V, turn=_NULL_I)}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -1801,6 +2018,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_hierarchy": _pq(_kg_path_spark),
         "kg_code_table_join": _pq(_kg_code_spark),
         "kg_scalar_suite": _pq(_kg_scalar_suite_spark),
+        # round-3 widening (previously pytest-only ids)
+        "kg_min_dup_map": _pq(_kg_min_dup_spark),
+        "kg_label_set_dedup": _pq(_kg_labelset_spark),
+        "kg_composite_key_join": _pq(_kg_ckj_spark),
+        "kg_numeric_prefix": _pq(_kg_numpref_spark),
+        "kg_melt_route": _pq(_kg_melt_spark),
+        "kg_consistency_violations": _pq(_kg_p8_spark),
+        "kg_ontology_triples": _pq(_kg_ontology_spark),
         # training-data extras (package-routed)
         "dedup_exact": _pq(_dedup_exact_spark),
         "dedup_fingerprint": _pq(_fingerprint_spark),
@@ -1851,6 +2076,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_hierarchy": _KG_PATH_ORACLE,
         "kg_code_table_join": _KG_CODE_ORACLE,
         "kg_scalar_suite": _scalar_oracle(),
+        "kg_min_dup_map": _KG_MIN_DUP_ORACLE,
+        "kg_label_set_dedup": _KG_LABELSET_ORACLE,
+        "kg_composite_key_join": _KG_CKJ_ORACLE,
+        "kg_numeric_prefix": _KG_NUMPREF_ORACLE,
+        "kg_melt_route": _KG_MELT_ORACLE,
+        "kg_consistency_violations": _KG_P8_ORACLE,
+        "kg_ontology_triples": _ontology_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_fingerprint": _FINGERPRINT_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,

@@ -123,11 +123,16 @@ def dynamic_subclass_triples(values: DataFrame, value_col: str, parent_class: st
     )
 
 
+def consistency_violations(df: DataFrame, forbidden: DataFrame, on: list[str]) -> DataFrame:
+    """P8: the rows of ``df`` matching a forbidden key combination — one
+    semi-join, set-at-a-time (eecsv2rdf.scala:92-99's per-row check)."""
+    return df.join(forbidden, on, "left_semi")
+
+
 def consistency_check(df: DataFrame, forbidden: DataFrame, on: list[str]) -> None:
     """P8: runtime consistency assertion (eecsv2rdf.scala:92-99) — abort the
-    job when a forbidden edge appears. Set-at-a-time: one semi-join instead
-    of a per-row check."""
-    bad = df.join(forbidden, on, "left_semi")
+    job when a forbidden edge appears."""
+    bad = consistency_violations(df, forbidden, on)
     n = bad.limit(1).count()
     if n:
         rows = [tuple(r) for r in bad.limit(5).collect()]
