@@ -1986,6 +1986,201 @@ UNION ALL
 """
 
 
+# ---------------------------------------------------------------------------
+# kg_reader_suite — one driver row gating the full source-adapter family
+# (S1 positional CSV, S2 dict CSV, S3 custom TSV, S4 XML speeches, S5 gzip
+# line records, S6 JSON documents, S7 MARC ISO-2709, S8 glob scan, S9
+# marker-delimited segmentation, S10 XSD enumeration). Deterministic fixture
+# files are written under $TMPDIR at import time (atomic rename) so both the
+# Spark side and the DuckDB oracle can read them in either order. Where
+# DuckDB has a native reader (CSV/TSV/gzip/JSON/glob/read_text) the oracle
+# genuinely re-parses the same file; the XML/XSD/MARC branches are
+# round-trip gates: the fixture is GENERATED from the literal row sets below
+# (build_marc_record / hand-written markup), so Spark's parser must
+# reproduce exactly those rows from the serialized bytes.
+# ---------------------------------------------------------------------------
+
+_RFX_POS_CSV = 'k1,alpha,"x,y"\nk2,beta,\nk3,gamma,z3\n'
+_RFX_DICT_CSV = 'id,name,note\n1,Ada,first\n2,Grace,"compiler, COBOL"\n3,Alan,\n'
+_RFX_TSV = 'id\tname\n10\tsays "hi"\n11\tpipe|and€end\n'
+_RFX_LINES = 'r1\tpayload one\nr2\tpay\ttwo\nr3\tlast\n'
+_RFX_JSONL = '{"id":"d1","title":"T one"}\n{"id":"d2","title":"T two"}\n'
+_RFX_MARKER = '<L A1>\nline one\nline two\n<L B2>\nbody b\n'
+_RFX_GLOB = {"g1.csv": "k1,v1\nk2,v2\n", "g2.csv": "k3,v3\n"}
+_RFX_XML = (
+    '<session><speech speaker="s1" role="witness" year="1720">'
+    "Hello <i>there</i> world</speech>"
+    '<speech speaker="s2" role="judge" year="1721">Order!</speech></session>'
+)
+_RFX_XSD = (
+    '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">'
+    '<xs:simpleType name="codes"><xs:restriction base="xs:string">'
+    '<xs:enumeration value="A"><xs:annotation>'
+    '<xs:documentation xml:lang="en">Alpha</xs:documentation>'
+    '<xs:documentation xml:lang="fi">Aalto</xs:documentation>'
+    "</xs:annotation></xs:enumeration>"
+    '<xs:enumeration value="B"/>'
+    "</xs:restriction></xs:simpleType></xs:schema>"
+)
+_RFX_MARC_RECORDS = [
+    [
+        ("001", "rec001"),
+        ("020", "1", " ", [("a", "978-3-16-148410-0"), ("q", "pbk")]),
+        ("245", "0", "0", [("a", "Title one")]),
+    ],
+    [
+        ("001", "rec002"),
+        ("020", " ", " ", [("a", "0-306-40615-2")]),
+    ],
+]
+# hand-derived expected rows for the round-trip branches (NOT produced by the
+# shipped parsers — writing them out is the point of the gate)
+_RFX_S4_EXPECTED = [
+    ("0", "speaker", "s1"), ("0", "role", "witness"), ("0", "year", "1720"),
+    ("0", "text", "Hello there world"),
+    ("1", "speaker", "s2"), ("1", "role", "judge"), ("1", "year", "1721"),
+    ("1", "text", "Order!"),
+]
+_RFX_S10_EXPECTED = [("A", "en", "Alpha"), ("A", "fi", "Aalto"), ("B", "_", None)]
+_RFX_S7_EXPECTED = [
+    ("0", "001:__$_", "rec001"),
+    ("0", "020:1 $a", "978-3-16-148410-0"),
+    ("0", "020:1 $q", "pbk"),
+    ("0", "245:00$a", "Title one"),
+    ("1", "001:__$_", "rec002"),
+    ("1", "020:  $a", "0-306-40615-2"),
+]
+
+
+def _ensure_reader_fixtures() -> str:
+    import gzip
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "a2r_reader_fixtures")
+    os.makedirs(os.path.join(d, "glob"), exist_ok=True)
+
+    def w(rel: str, data, mode: str = "w") -> None:
+        p = os.path.join(d, rel)
+        if os.path.exists(p):
+            return
+        tmp = p + ".tmp"
+        if rel.endswith(".gz"):
+            with gzip.open(tmp, "wt", encoding="utf-8") as f:
+                f.write(data)
+        else:
+            with open(tmp, mode, encoding=None if "b" in mode else "utf-8") as f:
+                f.write(data)
+        os.replace(tmp, p)
+
+    w("pos.csv", _RFX_POS_CSV)
+    w("dict.csv", _RFX_DICT_CSV)
+    w("cust.tsv", _RFX_TSV)
+    w("lines.txt.gz", _RFX_LINES)
+    w("docs.jsonl", _RFX_JSONL)
+    w("marker.txt", _RFX_MARKER)
+    for name, data in _RFX_GLOB.items():
+        w(os.path.join("glob", name), data)
+    from anything2rdf_spark.sources.readers import build_marc_record
+
+    w("recs.mrc", b"".join(build_marc_record(r) for r in _RFX_MARC_RECORDS), mode="wb")
+    return d
+
+
+_RFX_DIR = _ensure_reader_fixtures()
+
+
+def _kg_reader_suite_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.sources import readers as RD
+
+    d = _ensure_reader_fixtures()
+    s1 = RD.csv_positional(spark, f"{d}/pos.csv").selectExpr(
+        "'s1' AS src", "_c0 AS rid",
+        "stack(2, '_c1', _c1, '_c2', _c2) AS (field, value)",
+    )
+    s2 = RD.csv_dict(spark, f"{d}/dict.csv").selectExpr(
+        "'s2' AS src", "id AS rid", "stack(2, 'name', name, 'note', note) AS (field, value)"
+    )
+    s3 = RD.tsv_custom(spark, f"{d}/cust.tsv", quote=None).selectExpr(
+        "'s3' AS src", "id AS rid", "stack(1, 'name', name) AS (field, value)"
+    )
+    records = spark.createDataFrame([("1", _RFX_XML)], "id string, payload string")
+    s4 = RD.xml_speeches(records).selectExpr(
+        "'s4' AS src", "cast(speech_idx AS string) AS rid",
+        "stack(4, 'speaker', speaker, 'role', role, 'year', year, 'text', text)"
+        " AS (field, value)",
+    )
+    s5 = RD.line_records(spark, f"{d}/lines.txt.gz").selectExpr(
+        "'s5' AS src", "id AS rid", "stack(1, 'payload', payload) AS (field, value)"
+    )
+    s6 = RD.json_documents(spark, f"{d}/docs.jsonl", multiline=False).selectExpr(
+        "'s6' AS src", "id AS rid", "stack(1, 'title', title) AS (field, value)"
+    )
+    s7 = RD.marc_records(spark, f"{d}/recs.mrc").selectExpr(
+        "'s7' AS src", "cast(rec_idx AS string) AS rid",
+        "concat(tag, ':', coalesce(ind1, '_'), coalesce(ind2, '_'), '$',"
+        " coalesce(code, '_')) AS field",
+        "value",
+    )
+    s8 = RD.glob_scan(spark, f"{d}/glob/*.csv", fmt="csv").selectExpr(
+        "'s8' AS src", "_c0 AS rid", "stack(1, '_c1', _c1) AS (field, value)"
+    )
+    s9 = RD.marker_delimited(spark, f"{d}/marker.txt").selectExpr(
+        "'s9' AS src", "record_id AS rid", "stack(1, 'text', text) AS (field, value)"
+    )
+    s10 = RD.xsd_enumeration(spark, _RFX_XSD).selectExpr(
+        "'s10' AS src", "code AS rid",
+        "stack(1, coalesce(lang, '_'), label) AS (field, value)",
+    )
+    out = s1
+    for part in (s2, s3, s4, s5, s6, s7, s8, s9, s10):
+        out = out.unionByName(part)
+    return out
+
+
+def _reader_suite_oracle() -> str:
+    d = _RFX_DIR
+    vals = lambda rows: _sql_values(rows, "rid, field, value")  # noqa: E731
+    return f"""
+WITH pos AS (SELECT * FROM read_csv('{d}/pos.csv', header=false, quote='"')),
+dic AS (SELECT * FROM read_csv('{d}/dict.csv', header=true)),
+tsv AS (SELECT * FROM read_csv('{d}/cust.tsv', header=true, sep=e'\\t', quote='')),
+gz AS (SELECT line FROM read_csv('{d}/lines.txt.gz', header=false, sep=e'\\x01',
+                                 quote='', columns={{'line': 'VARCHAR'}})),
+js AS (SELECT * FROM read_json_auto('{d}/docs.jsonl')),
+gl AS (SELECT * FROM read_csv('{d}/glob/*.csv', header=false, quote='"')),
+mlines AS (
+  SELECT unnest(a) AS line, unnest(generate_series(1, len(a))) AS ord
+  FROM (SELECT string_split(regexp_replace(content, '\\n$', ''), chr(10)) AS a
+        FROM read_text('{d}/marker.txt'))
+),
+mtag AS (
+  SELECT ord, line, nullif(regexp_extract(line, '^<L (\\S+)>', 1), '') AS marker
+  FROM mlines
+),
+mcarry AS (
+  SELECT ord, line, marker,
+         last_value(marker IGNORE NULLS) OVER
+           (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+  FROM mtag
+)
+SELECT 's1' AS src, column0 AS rid, '_c1' AS field, column1 AS value FROM pos
+UNION ALL SELECT 's1', column0, '_c2', column2 FROM pos
+UNION ALL SELECT 's2', CAST(id AS VARCHAR), 'name', name FROM dic
+UNION ALL SELECT 's2', CAST(id AS VARCHAR), 'note', note FROM dic
+UNION ALL SELECT 's3', CAST(id AS VARCHAR), 'name', name FROM tsv
+UNION ALL SELECT 's4', rid, field, value FROM {vals(_RFX_S4_EXPECTED)}
+UNION ALL SELECT 's5', split_part(line, chr(9), 1),
+                 'payload', substr(line, length(split_part(line, chr(9), 1)) + 2)
+          FROM gz
+UNION ALL SELECT 's6', id, 'title', title FROM js
+UNION ALL SELECT 's7', rid, field, value FROM {vals(_RFX_S7_EXPECTED)}
+UNION ALL SELECT 's8', column0, '_c1', column1 FROM gl
+UNION ALL SELECT 's9', cur, 'text', string_agg(line, chr(10) ORDER BY ord)
+          FROM mcarry WHERE marker IS NULL AND cur IS NOT NULL GROUP BY cur
+UNION ALL SELECT 's10', rid, field, value FROM {vals(_RFX_S10_EXPECTED)}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2026,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_melt_route": _pq(_kg_melt_spark),
         "kg_consistency_violations": _pq(_kg_p8_spark),
         "kg_ontology_triples": _pq(_kg_ontology_spark),
+        "kg_reader_suite": _pq(_kg_reader_suite_spark),
         # training-data extras (package-routed)
         "dedup_exact": _pq(_dedup_exact_spark),
         "dedup_fingerprint": _pq(_fingerprint_spark),
@@ -2083,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_melt_route": _KG_MELT_ORACLE,
         "kg_consistency_violations": _KG_P8_ORACLE,
         "kg_ontology_triples": _ontology_oracle(),
+        "kg_reader_suite": _reader_suite_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_fingerprint": _FINGERPRINT_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
