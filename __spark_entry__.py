@@ -2181,6 +2181,192 @@ UNION ALL SELECT 's10', rid, field, value FROM {vals(_RFX_S10_EXPECTED)}
 """
 
 
+# ---------------------------------------------------------------------------
+# kg_scalar_suite2 — the remaining scalar ids: F3 url_encode (java
+# URLEncoder semantics), F4 iri_fix (fixed 12-char percent map), F7 Unicode
+# NFC (DuckDB nfc_normalize vs the pandas UDF — genuinely recomputed), F20
+# TM35FIN→WGS84 (the full inverse Gauss–Krüger series re-expressed in SQL:
+# hyperbolics via exp, atanh via ln, the 6-round conformal→geodetic
+# fixed-point unrolled; same JHS-154 constants).
+# ---------------------------------------------------------------------------
+
+_S2_ROWS = [
+    (1, "plain123", 'bad iri <x>"y"', "Café", 385000.0, 6672000.0),
+    (2, "a/b?c=d", "a b{c}|d\\e^f`g[h]i", "Ån", 500000.0, 7000000.0),
+    (3, "x y*z", "clean", "already é", 250000.0, 6700000.0),
+]
+# java URLEncoder percent map for exactly the bytes in the fixture
+_ENC_MAP = [("/", "%2F"), ("?", "%3F"), ("=", "%3D"), (" ", "+")]
+_IRIFIX_MAP = [
+    (" ", "%20"), ('"', "%22"), ("<", "%3C"), (">", "%3E"), ("{", "%7B"),
+    ("}", "%7D"), ("|", "%7C"), ("\\", "%5C"), ("^", "%5E"), ("`", "%60"),
+    ("[", "%5B"), ("]", "%5D"),
+]
+
+
+def _kg_scalar2_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.functions import geo as GEO
+
+    df = spark.createDataFrame(
+        _S2_ROWS, "pid int, raw string, iricand string, dec string, east double, north double"
+    )
+    return (
+        df.withColumn("g", GEO.tm35fin_to_wgs84(F.col("east"), F.col("north")))
+        .select(
+            "pid",
+            iri.encode("raw").alias("enc"),
+            iri.iri_fix("iricand").alias("fixed"),
+            TX.nfc_normalize("dec").alias("nfc"),
+            F.col("g.lat").alias("lat"),
+            F.col("g.lon").alias("lon"),
+        )
+    )
+
+
+def _scalar2_oracle() -> str:
+    from anything2rdf_spark.functions import geo as GG
+
+    def chain(col: str, pairs: list[tuple[str, str]]) -> str:
+        out = col
+        for a, b in pairs:
+            out = f"replace({out}, {_lit(a)}, {_lit(b)})"
+        return out
+
+    sh = lambda x: f"((exp({x})-exp(-({x})))/2)"  # noqa: E731
+    ch = lambda x: f"((exp({x})+exp(-({x})))/2)"  # noqa: E731
+    th = lambda x: f"({sh(x)}/{ch(x)})"  # noqa: E731
+    ath = lambda x: f"(0.5*ln((1+({x}))/(1-({x}))))"  # noqa: E731
+    zk = repr(GG._A1 * GG._K0)
+    e = repr(float(GG._E))
+    h = [repr(v) for v in (GG._H1, GG._H2, GG._H3, GG._H4)]
+    lon0 = repr(float(GG._LON0))
+    def step(prev: str) -> str:
+        # one conformal→geodetic fixed-point round:
+        # atan(sinh(ell + E*atanh(E*tanh(ell + E*atanh(E*sin(prev))))))
+        inner = ath(f"{e}*sin({prev})")
+        t = th(f"ell + {e}*{inner}")
+        outer = ath(f"{e}*{t}")
+        return f"atan({sh(f'ell + {e}*{outer}')})"
+
+    phi = "beta"
+    iters = []
+    for i in range(1, 7):
+        iters.append(f"i{i} AS (SELECT *, {step(phi)} AS phi{i} FROM {'s3' if i == 1 else f'i{i-1}'})")
+        phi = f"phi{i}"
+    rows = _sql_values(_S2_ROWS, "pid, raw, iricand, dec, east, north")
+    return f"""
+WITH base AS (
+  SELECT CAST(pid AS INT) AS pid, raw, iricand, dec,
+         CAST(east AS DOUBLE) AS east, CAST(north AS DOUBLE) AS north
+  FROM {rows}
+),
+s0 AS (SELECT *, north/{zk} AS zeta, (east - 500000.0)/{zk} AS eta FROM base),
+s1 AS (
+  SELECT *,
+    zeta - {h[0]}*sin(2*zeta)*{ch('2*eta')} - {h[1]}*sin(4*zeta)*{ch('4*eta')}
+         - {h[2]}*sin(6*zeta)*{ch('6*eta')} - {h[3]}*sin(8*zeta)*{ch('8*eta')} AS zeta1,
+    eta  - {h[0]}*cos(2*zeta)*{sh('2*eta')} - {h[1]}*cos(4*zeta)*{sh('4*eta')}
+         - {h[2]}*cos(6*zeta)*{sh('6*eta')} - {h[3]}*cos(8*zeta)*{sh('8*eta')} AS eta1
+  FROM s0
+),
+s2 AS (SELECT *, asin(sin(zeta1)/{ch('eta1')}) AS beta FROM s1),
+s3 AS (SELECT *, {ath('sin(beta)')} AS ell FROM s2),
+{', '.join(iters)}
+SELECT pid,
+       {chain('raw', _ENC_MAP)} AS enc,
+       {chain('iricand', _IRIFIX_MAP)} AS fixed,
+       nfc_normalize(dec) AS nfc,
+       degrees(phi6) AS lat,
+       degrees({lon0} + atan({sh('eta1')}/cos(zeta1))) AS lon
+FROM i6
+"""
+
+
+# kg_wiki_templates — F11 (functions/text.parse_wiki_templates_udf,
+# ttpxml2rdf.scala:37-77): depth-aware {{template|k=v}} field scan, exploded
+# to rows. The oracle is the hand-derived expected parse of the literal
+# fixture (round-trip gate): the nested {{coord}} body contributes its own
+# k=v pairs to the OUTER template (the reference's flat field scan) and the
+# 'inner=' field sees an empty value (the nested braces stop the value rx).
+_WIKI_ROWS = [
+    (1, "{{infobox person|name=Ada|born = 1815}} trailing text"),
+    (2, "pre {{box|a=1|inner={{coord|lat=60}}|c=3}} post"),
+    (3, "no templates here"),
+]
+_WIKI_EXPECTED = [
+    (1, "infobox person", "name", "Ada"),
+    (1, "infobox person", "born", "1815"),
+    (2, "box", "a", "1"),
+    (2, "box", "inner", ""),
+    (2, "box", "lat", "60"),
+    (2, "box", "c", "3"),
+]
+
+
+def _kg_wiki_spark(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(_WIKI_ROWS, "pid int, text string")
+    parse = TX.parse_wiki_templates_udf()
+    return (
+        df.select("pid", F.explode(parse(F.col("text"))).alias("f"))
+        .select("pid", F.col("f.template").alias("template"),
+                F.col("f.key").alias("key"), F.col("f.value").alias("value"))
+    )
+
+
+_WIKI_ORACLE = (
+    f"SELECT CAST(pid AS INT) AS pid, template, key, value "
+    f"FROM {_sql_values(_WIKI_EXPECTED, 'pid, template, key, value')}"
+)
+
+
+# kg_flatten_tree — G4 (hierarchy.flatten_tree, grandtourjson2rdf.scala:57-94):
+# the tree is defined ONCE as a flat edge list; the Spark side receives it
+# NESTED (children arrays built from the edges) and must recover
+# (id, parent, depth) by iterative explode; the oracle recomputes depth from
+# the flat edges with a recursive CTE.
+_G4_EDGES = [
+    ("r1", None, "Root one"),
+    ("c1", "r1", "Child 1"),
+    ("c2", "r1", "Child 2"),
+    ("g1", "c1", "Grand 1"),
+    ("g2", "c1", "Grand 2"),
+    ("r2", None, "Root two"),
+]
+
+
+def _kg_flatten_spark(spark: SparkSession) -> DataFrame:
+    kids: dict = {}
+    for nid, parent, name in _G4_EDGES:
+        kids.setdefault(parent, []).append((nid, name))
+    data = []
+    for rid, rname in kids.get(None, []):
+        lvl1 = []
+        for cid, cname in kids.get(rid, []):
+            lvl1.append((cid, cname, list(kids.get(cid, []))))
+        data.append((rid, rname, lvl1))
+    schema = (
+        "id string, name string, children array<struct<id:string, name:string,"
+        " children:array<struct<id:string, name:string>>>>"
+    )
+    df = spark.createDataFrame(data, schema)
+    out = HC.flatten_tree(df)
+    return out.select("id", "parent_id", "depth", F.col("node.name").alias("name"))
+
+
+_G4_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT * FROM {_sql_values(_G4_EDGES, 'id, parent, name')}
+),
+walk AS (
+  SELECT id, parent, 0 AS depth FROM edges WHERE parent IS NULL
+  UNION ALL
+  SELECT e.id, e.parent, w.depth + 1 FROM edges e JOIN walk w ON e.parent = w.id
+)
+SELECT w.id, w.parent AS parent_id, w.depth, e.name
+FROM walk w JOIN edges e ON w.id = e.id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2222,6 +2408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_consistency_violations": _pq(_kg_p8_spark),
         "kg_ontology_triples": _pq(_kg_ontology_spark),
         "kg_reader_suite": _pq(_kg_reader_suite_spark),
+        "kg_scalar_suite2": _pq(_kg_scalar2_spark),
+        "kg_wiki_templates": _pq(_kg_wiki_spark),
+        "kg_flatten_tree": _pq(_kg_flatten_spark),
         # training-data extras (package-routed)
         "dedup_exact": _pq(_dedup_exact_spark),
         "dedup_fingerprint": _pq(_fingerprint_spark),
@@ -2280,6 +2469,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_consistency_violations": _KG_P8_ORACLE,
         "kg_ontology_triples": _ontology_oracle(),
         "kg_reader_suite": _reader_suite_oracle(),
+        "kg_scalar_suite2": _scalar2_oracle(),
+        "kg_wiki_templates": _WIKI_ORACLE,
+        "kg_flatten_tree": _G4_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_fingerprint": _FINGERPRINT_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,

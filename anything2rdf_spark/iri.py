@@ -40,9 +40,9 @@ def iri_fix(c: Column | str) -> Column:
         ('"', "%22"),
         ("<", "%3C"),
         (">", "%3E"),
-        ("{", "%7B"),
-        ("}", "%7D"),
-        ("|", "%7C"),
+        ("\\{", "%7B"),
+        ("\\}", "%7D"),
+        ("\\|", "%7C"),
         ("\\\\", "%5C"),  # regex-escaped backslash
         ("\\^", "%5E"),
         ("`", "%60"),
