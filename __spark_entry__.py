@@ -2367,6 +2367,113 @@ FROM walk w JOIN edges e ON w.id = e.id
 """
 
 
+# kg_rdf_lines — K1 N-Triples rendering (operators/sinks.nt_lines,
+# OBCXML2RDF.scala:215) + K2 Turtle prefix compaction (sinks.ttl_lines,
+# EMLOCSV2RDF.scala:606-613). The oracle re-renders the same triple fixture
+# in DuckDB SQL: the five-step N-Triples escape chain (backslash first),
+# IRI-vs-bnode term dispatch, the literal kind CASE (iri / @lang / ^^dtype /
+# plain), and the longest-namespace-first prefix replace + regexp collapse —
+# a genuine independent recompute, not a literal expected table.
+_RDF_PREFIXES = {
+    "ex": "http://example.org/",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+_RDF_ROWS = [
+    # subj, pred, obj_iri, obj_lit, obj_lang, obj_dtype
+    ("http://example.org/s1", "http://example.org/p", "http://example.org/o1", None, None, None),
+    ("_:b0", "http://example.org/p", None, "plain lit", None, None),
+    ("http://example.org/s2", "http://example.org/p", None, 'quote " and \\ back', None, None),
+    ("http://example.org/s3", "http://example.org/p", None, "line1\nline2\ttab\rcr", "en", None),
+    ("http://example.org/s4", "http://example.org/p", None, "42", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("http://example.org/s5", "http://other.net/q", "_:b1", None, None, None),
+    # literal that CONTAINS IRI-like text: prefix compaction must not touch it
+    ("http://example.org/s6", "http://example.org/p", None,
+     "see <http://example.org/x> inline", None, None),
+    # ns-prefixed IRI with a PN_LOCAL-unsafe local name: stays <full> in ttl
+    ("http://example.org/s7", "http://example.org/p", "http://example.org/a/b", None, None, None),
+]
+
+
+def _kg_rdf_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators import sinks as SK
+
+    df = spark.createDataFrame(
+        _RDF_ROWS,
+        "subj string, pred string, obj_iri string, obj_lit string,"
+        " obj_lang string, obj_dtype string",
+    )
+    nt = SK.nt_lines(df).select(F.lit("nt").alias("fmt"), "line")
+    ttl = SK.ttl_lines(df, _RDF_PREFIXES).select(F.lit("ttl").alias("fmt"), "line")
+    return nt.unionByName(ttl)
+
+
+def _rdf_oracle() -> str:
+    def dlit(s):
+        if s is None:
+            return "CAST(NULL AS VARCHAR)"
+        # splice control chars via chr() so the SQL literal stays one line
+        out, parts, buf = [], [], []
+        for ch in s:
+            if ch in "\n\r\t":
+                if buf:
+                    parts.append(_lit("".join(buf)))
+                    buf = []
+                parts.append(f"chr({ord(ch)})")
+            else:
+                buf.append(ch)
+        if buf:
+            parts.append(_lit("".join(buf)))
+        return " || ".join(parts) if parts else "''"
+
+    rows = ", ".join(
+        "(" + ", ".join(dlit(c) for c in r) + ")" for r in _RDF_ROWS
+    )
+    esc = (
+        "replace(replace(replace(replace(replace({c},"
+        " chr(92), chr(92)||chr(92)),"
+        " '\"', chr(92)||'\"'),"
+        " chr(10), chr(92)||'n'),"
+        " chr(13), chr(92)||'r'),"
+        " chr(9), chr(92)||'t')"
+    )
+    term = "CASE WHEN starts_with({c}, '_:') THEN {c} ELSE '<' || {c} || '>' END"
+    # ttl term: longest-namespace-first compaction, PN_LOCAL-safe locals only
+    safe = "'^[A-Za-z0-9_][A-Za-z0-9_.-]*$'"
+    branches = ""
+    for pfx, ns in sorted(_RDF_PREFIXES.items(), key=lambda kv: -len(kv[1])):
+        loc = f"substr({{c}}, {len(ns) + 1})"
+        branches += (
+            f"\n      WHEN starts_with({{c}}, {_lit(ns)})"
+            f" AND regexp_matches({loc}, {safe}) THEN {_lit(pfx + ':')} || {loc}"
+        )
+    tterm = (
+        "CASE WHEN starts_with({c}, '_:') THEN {c}" + branches +
+        "\n      ELSE '<' || {c} || '>' END"
+    )
+
+    def objcase(t: str) -> str:
+        return f"""CASE
+      WHEN obj_iri IS NOT NULL THEN {t.format(c='obj_iri')}
+      WHEN obj_lang IS NOT NULL THEN '"' || {esc.format(c='obj_lit')} || '"@' || obj_lang
+      WHEN obj_dtype IS NOT NULL THEN '"' || {esc.format(c='obj_lit')} || '"^^' || {t.format(c='obj_dtype')}
+      ELSE '"' || {esc.format(c='obj_lit')} || '"'
+    END"""
+
+    headers = ", ".join(f"({_lit(f'@prefix {p}: <{n}> .')})" for p, n in _RDF_PREFIXES.items())
+    return f"""
+WITH t(subj, pred, obj_iri, obj_lit, obj_lang, obj_dtype) AS (VALUES {rows})
+SELECT 'nt' AS fmt,
+       {term.format(c='subj')} || ' ' || {term.format(c='pred')} || ' ' || {objcase(term)} || ' .' AS line
+FROM t
+UNION ALL
+SELECT 'ttl' AS fmt,
+       {tterm.format(c='subj')} || ' ' || {tterm.format(c='pred')} || ' ' || {objcase(tterm)} || ' .' AS line
+FROM t
+UNION ALL SELECT 'ttl' AS fmt, line FROM (VALUES {headers}) h(line)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2411,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scalar_suite2": _pq(_kg_scalar2_spark),
         "kg_wiki_templates": _pq(_kg_wiki_spark),
         "kg_flatten_tree": _pq(_kg_flatten_spark),
+        "kg_rdf_lines": _pq(_kg_rdf_spark),
         # training-data extras (package-routed)
         "dedup_exact": _pq(_dedup_exact_spark),
         "dedup_fingerprint": _pq(_fingerprint_spark),
@@ -2472,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_scalar_suite2": _scalar2_oracle(),
         "kg_wiki_templates": _WIKI_ORACLE,
         "kg_flatten_tree": _G4_ORACLE,
+        "kg_rdf_lines": _rdf_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_fingerprint": _FINGERPRINT_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,

@@ -24,27 +24,51 @@ def _term(iri_col):
     return F.when(c.startswith("_:"), c).otherwise(F.concat(F.lit("<"), c, F.lit(">")))
 
 
-def nt_lines(triples: DataFrame) -> DataFrame:
-    """K1: N-Triples rendering (RDFDataMgr.write(..., NT),
-    OBCXML2RDF.scala:215) — one ``line`` column; object kind dispatched on
-    obj_iri XOR obj_lit, language tags and typed literals per spec."""
+# Turtle PN_LOCAL subset we compact without escaping; anything else keeps
+# the full <IRI> form (conservative: valid output either way).
+_SAFE_LOCAL = "^[A-Za-z0-9_][A-Za-z0-9_.-]*$"
+
+
+def _compact_term(iri_col, prefixes: dict[str, str]):
+    """Term-level prefix compaction: ``<ns>local`` → ``pfx:local`` only when
+    the local name is PN_LOCAL-safe; bnodes pass through; everything else
+    stays ``<iri>``. Compacting at the term (not the rendered line) keeps
+    literals that merely *contain* IRI-like text untouched."""
+    c = F.col(iri_col) if isinstance(iri_col, str) else iri_col
+    expr = F.when(c.startswith("_:"), c)
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        local = F.substring(c, len(ns) + 1, 1 << 30)
+        expr = expr.when(
+            c.startswith(ns) & local.rlike(_SAFE_LOCAL),
+            F.concat(F.lit(pfx + ":"), local),
+        )
+    return expr.otherwise(F.concat(F.lit("<"), c, F.lit(">")))
+
+
+def _render_lines(triples: DataFrame, term) -> DataFrame:
+    """Shared triple-line assembly; ``term`` renders an IRI/bnode column."""
     obj = (
-        F.when(F.col("obj_iri").isNotNull(), _term("obj_iri"))
+        F.when(F.col("obj_iri").isNotNull(), term("obj_iri"))
         .when(
             F.col("obj_lang").isNotNull(),
             F.concat(F.lit('"'), _escape_nt(F.col("obj_lit")), F.lit('"@'), F.col("obj_lang")),
         )
         .when(
             F.col("obj_dtype").isNotNull(),
-            F.concat(
-                F.lit('"'), _escape_nt(F.col("obj_lit")), F.lit('"^^<'), F.col("obj_dtype"), F.lit(">")
-            ),
+            F.concat(F.lit('"'), _escape_nt(F.col("obj_lit")), F.lit('"^^'), term("obj_dtype")),
         )
         .otherwise(F.concat(F.lit('"'), _escape_nt(F.col("obj_lit")), F.lit('"')))
     )
     return triples.select(
-        F.concat(_term("subj"), F.lit(" "), _term("pred"), F.lit(" "), obj, F.lit(" .")).alias("line")
+        F.concat(term("subj"), F.lit(" "), term("pred"), F.lit(" "), obj, F.lit(" .")).alias("line")
     )
+
+
+def nt_lines(triples: DataFrame) -> DataFrame:
+    """K1: N-Triples rendering (RDFDataMgr.write(..., NT),
+    OBCXML2RDF.scala:215) — one ``line`` column; object kind dispatched on
+    obj_iri XOR obj_lit, language tags and typed literals per spec."""
+    return _render_lines(triples, _term)
 
 
 def write_nt(triples: DataFrame, path: str, gzip: bool = False, sort: bool = False) -> None:
@@ -63,14 +87,11 @@ def write_nt(triples: DataFrame, path: str, gzip: bool = False, sort: bool = Fal
 
 def ttl_lines(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
     """K2: Turtle rendering with prefix compaction (EMLOCSV2RDF.scala:606-613).
-    Prefix map applied longest-first via chained replace; header lines
-    unioned on top."""
-    lines = nt_lines(triples)
-    out = F.col("line")
-    for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
-        out = F.replace(out, F.lit(f"<{ns}"), F.lit(f"{pfx}:<"))
-        out = F.regexp_replace(out, rf"{pfx}:<([^>]*)>", rf"{pfx}:$1")
-    body = lines.select(out.alias("line"))
+    Compaction happens at the *term* level (longest namespace wins,
+    PN_LOCAL-safe locals only) — never on the rendered line, so a literal
+    that happens to contain ``<http://ns/x>`` text is left untouched.
+    Header ``@prefix`` lines unioned on top."""
+    body = _render_lines(triples, lambda c: _compact_term(c, prefixes))
     spark = triples.sparkSession
     header = spark.createDataFrame(
         [(f"@prefix {p}: <{n}> .",) for p, n in prefixes.items()], "line string"

@@ -159,6 +159,23 @@ def test_ttl_prefix_compaction(spark):
     assert "x:s x:p x:o ." in lines
 
 
+def test_ttl_compaction_is_term_level(spark):
+    # Compaction must not rewrite IRI-like text INSIDE a literal, and must
+    # keep the full <iri> form when the local name is not PN_LOCAL-safe.
+    rows = [
+        ("http://x/s", "http://x/p", None, "see <http://x/o> inline", None, None, "c", 0),
+        ("http://x/s", "http://x/p", "http://x/a/b", None, None, None, "c", 0),
+        ("http://x/s", "http://x/p", None, "42", None,
+         "http://www.w3.org/2001/XMLSchema#integer", "c", 0),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    lines = {r["line"] for r in SK.ttl_lines(
+        df, {"x": "http://x/", "xsd": "http://www.w3.org/2001/XMLSchema#"}).collect()}
+    assert 'x:s x:p "see <http://x/o> inline" .' in lines
+    assert "x:s x:p <http://x/a/b> ." in lines  # 'a/b' not PN_LOCAL-safe
+    assert 'x:s x:p "42"^^xsd:integer .' in lines
+
+
 def test_split_schema_data(spark):
     df = spark.createDataFrame(
         [("http://x/schema#C", "p", None, None, None, None, None, None)] + TRIPLES_ROWS[:1],
