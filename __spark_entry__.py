@@ -2474,6 +2474,39 @@ UNION ALL SELECT 'ttl' AS fmt, line FROM (VALUES {headers}) h(line)
 """
 
 
+# kg_schema_split — K4 (operators/sinks.split_schema_data,
+# PNR2RDF.scala:121-124, 207-227): two-model split of a real mixed triple
+# set (per-turn instance triples ∪ the ontology emission) on the schema
+# namespace, summarized as per-(side, pred) counts. The oracle composes the
+# two existing independent recomputes (turn-triples CTE + ontology decls)
+# and re-derives the split with a namespace CASE.
+def _kg_split_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators import sinks as SK
+
+    inst = EX.extract_triples(spark.table("transcripts"))
+    ont = _kg_ontology_spark(spark)
+    schema_df, data_df = SK.split_schema_data(inst.unionByName(ont), S)
+    return (
+        schema_df.select(F.lit("schema").alias("side"), "pred")
+        .unionByName(data_df.select(F.lit("data").alias("side"), "pred"))
+        .groupBy("side", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _split_oracle() -> str:
+    return f"""
+WITH allt AS (
+  SELECT subj, pred FROM ({_KG_TURN_TRIPLES_ORACLE})
+  UNION ALL
+  SELECT subj, pred FROM ({_ontology_oracle()})
+)
+SELECT CASE WHEN starts_with(subj, '{S}') THEN 'schema' ELSE 'data' END AS side,
+       pred, COUNT(*) AS n
+FROM allt GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2519,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wiki_templates": _pq(_kg_wiki_spark),
         "kg_flatten_tree": _pq(_kg_flatten_spark),
         "kg_rdf_lines": _pq(_kg_rdf_spark),
+        "kg_schema_split": _pq(_kg_split_spark),
         # training-data extras (package-routed)
         "dedup_exact": _pq(_dedup_exact_spark),
         "dedup_fingerprint": _pq(_fingerprint_spark),
@@ -2581,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_wiki_templates": _WIKI_ORACLE,
         "kg_flatten_tree": _G4_ORACLE,
         "kg_rdf_lines": _rdf_oracle(),
+        "kg_schema_split": _split_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_fingerprint": _FINGERPRINT_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
