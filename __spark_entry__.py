@@ -2507,6 +2507,68 @@ FROM allt GROUP BY 1, 2
 """
 
 
+# text_repetition — operators/textstats.dup_ngram_fraction: intra-document
+# duplicate word-3-gram fraction (Gopher/MassiveText repetition rule, Rae et
+# al. 2021 §A1.1), one native array expression. The oracle rebuilds the
+# 3-grams positionally with lead() windows and recounts distinct-vs-total.
+def _rep_spark(spark: SparkSession) -> DataFrame:
+    return spark.table("documents").select("doc_id", TS.dup_ngram_fraction("text", 3))
+
+
+_REP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, l[i] AS tok, i AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS l
+        FROM documents),
+       UNNEST(generate_series(1, len(l))) AS g(i)
+),
+ng AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+agg AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+  FROM ng WHERE g IS NOT NULL GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE((agg.total - agg.dist) / agg.total::DOUBLE, 0.0) AS dup_ngram_fraction
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# text_top_ngrams — operators/textstats.corpus_top_ngrams: per-source top-5
+# word bigrams by corpus count (boilerplate detector). Deterministic
+# tie-break (cnt desc, ngram asc) mirrored in both engines.
+def _topng_spark(spark: SparkSession) -> DataFrame:
+    return TS.corpus_top_ngrams(spark.table("documents"), n=2, k=5)
+
+
+_TOPNG_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source, l[i] AS tok, i AS pos
+  FROM (SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS l
+        FROM documents),
+       UNNEST(generate_series(1, len(l))) AS g(i)
+),
+ng AS (
+  SELECT source AS grp, tok || ' ' || lead(tok, 1) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+counts AS (
+  SELECT grp, g AS ngram, count(*) AS cnt FROM ng WHERE g IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT grp, ngram, cnt,
+         row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, ngram) AS rnk
+  FROM counts
+)
+SELECT grp, ngram, cnt, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2560,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _pq(_dedup_minhash_spark),
         "dedup_simhash": _pq(_dedup_simhash_spark),
         "text_tokens": _pq(_tokens_spark),
+        "text_repetition": _pq(_rep_spark),
+        "text_top_ngrams": _pq(_topng_spark),
         "text_langid": _pq(_langid_spark),
         "text_quality": _pq(_quality_spark),
         "sim_cosine_topk": _pq(_cosine_spark),
@@ -2622,6 +2686,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "text_tokens": _TOKENS_ORACLE,
+        "text_repetition": _REP_ORACLE,
+        "text_top_ngrams": _TOPNG_ORACLE,
         "text_langid": _LANGID_ORACLE,
         "text_quality": _QUALITY_ORACLE,
         "sim_cosine_topk": _COSINE_ORACLE,

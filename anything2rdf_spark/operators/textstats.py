@@ -86,3 +86,61 @@ def doc_fingerprint(text) -> Column:
         F.regexp_replace(F.regexp_replace(F.lower(_c(text)), r"[^\p{L}\p{N}]+", " "), r"\s+", " ")
     )
     return F.sha2(norm, 256)
+
+
+def _ws_tokens(text) -> Column:
+    """Whitespace tokens with empties dropped (split on runs, trim first)."""
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda t: t != "")
+
+
+def dup_ngram_fraction(text, n: int = 3) -> Column:
+    """Intra-document repetition score: fraction of word n-grams that are
+    duplicates of an earlier n-gram in the same document (the Gopher/
+    MassiveText "fraction of duplicate n-grams" rule family, Rae et al.
+    2021 §A1.1). One native expression — array ops only, no shuffle, no
+    Python; runs inside the same scan as the other quality signals, so at
+    100 TB it adds zero extra passes.
+
+    Documents with fewer than ``n`` tokens score 0.0 (nothing to repeat).
+    """
+    toks = _ws_tokens(text)
+    n_ng = F.size(toks) - (n - 1)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_ng, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    distinct = F.size(F.array_distinct(ngrams))
+    return (
+        F.when(n_ng >= 1, (n_ng - distinct) / n_ng.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_fraction")
+    )
+
+
+def corpus_top_ngrams(docs, text_col: str = "text", by: str = "source",
+                      n: int = 2, k: int = 5):
+    """Per-group top-k word n-grams by document frequency-weighted count —
+    the corpus-level boilerplate detector (a hot header/footer n-gram shows
+    up with a count near the group's doc count). Plan at scale: explode →
+    partial-aggregated groupBy (map-side combine keeps the shuffle at
+    distinct-ngram cardinality, not token cardinality) → per-group window
+    rank over the already-aggregated counts (tiny). Deterministic tie-break:
+    count desc, then n-gram lexicographic."""
+    from pyspark.sql import Window
+
+    toks = _ws_tokens(F.col(text_col))
+    n_ng = F.size(toks) - (n - 1)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_ng, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    counts = (
+        docs.select(F.col(by).alias("grp"), F.explode(ngrams).alias("ngram"))
+        .groupBy("grp", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -74,3 +74,33 @@ def test_stats_run_on_documents_table(spark, docs):
     )
     assert out.count() == docs.count()
     assert out.filter(F.col("tokens") <= 0).count() == 0
+
+
+def test_dup_ngram_fraction_edges(spark):
+    rows = [
+        ("empty", ""),
+        ("short", "a b"),                      # < n tokens -> 0.0
+        ("uniq", "a b c d e"),                 # 3 trigrams, all distinct -> 0.0
+        ("rep", "a b a b a b a b"),            # 6 trigrams, 2 distinct -> 4/6
+        ("all_same", "x x x x x"),             # 3 trigrams, 1 distinct -> 2/3
+    ]
+    df = spark.createDataFrame(rows, "k string, t string")
+    got = {r["k"]: r["f"] for r in
+           df.select("k", TS.dup_ngram_fraction("t", 3).alias("f")).collect()}
+    assert got["empty"] == 0.0 and got["short"] == 0.0 and got["uniq"] == 0.0
+    assert abs(got["rep"] - 4 / 6) < 1e-12
+    assert abs(got["all_same"] - 2 / 3) < 1e-12
+
+
+def test_corpus_top_ngrams_deterministic_ties(spark):
+    rows = [
+        ("s1", "a b a b"),    # bigrams: 'a b' x2, 'b a' x1
+        ("s1", "c d"),        # 'c d' x1 — ties with 'b a', lexicographic wins
+        ("s2", "z z z"),      # 'z z' x2
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = TS.corpus_top_ngrams(df, n=2, k=2)
+    got = {(r["grp"], r["rnk"]): (r["ngram"], r["cnt"]) for r in out.collect()}
+    assert got[("s1", 1)] == ("a b", 2)
+    assert got[("s1", 2)] == ("b a", 1)  # 'b a' < 'c d' on the tie
+    assert got[("s2", 1)] == ("z z", 2)
