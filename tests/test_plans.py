@@ -1,0 +1,88 @@
+"""Physical-plan structure assertions: the scale claims in docs/DESIGN.md
+("extract is one narrow span", "dictionary joins broadcast", "quality
+signals ride the scan") as executable tests, so a refactor that silently
+introduces a shuffle or drops a pushdown fails CI, not a 100 TB run."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from anything2rdf_spark.operators import canonicalize as CN
+from anything2rdf_spark.operators import extract as EX
+from anything2rdf_spark.operators import link as LK
+from anything2rdf_spark.operators import textstats as TS
+from anything2rdf_spark.sources import synth
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, tmp_path_factory):
+    # materialize to parquet so operator plans are isolated from the
+    # generator's own lineage (which contains a sort)
+    path = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    synth.transcripts(spark, n_convs=10, seed=7).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_extract_is_shuffle_free(spark, transcripts):
+    """Triple emission is a narrow select+explode: zero Exchange operators —
+    at 100 TB the stage cost is exactly one pass over the input."""
+    p = plan(EX.extract_triples(transcripts))
+    assert "Exchange" not in p
+
+
+def test_textstats_ride_the_scan(spark, transcripts):
+    """All quality/repetition signals are scan-local expressions (no
+    Exchange): adding them to an existing pass costs no extra pass."""
+    df = transcripts.select(
+        TS.quality_score("text"),
+        TS.lang_id("text").alias("lang"),
+        TS.dup_ngram_fraction("text", 3),
+        TS.doc_fingerprint("text").alias("fp"),
+    )
+    p = plan(df)
+    assert "Exchange" not in p
+
+
+def test_admission_filter_pushed_to_parquet(spark, transcripts, tmp_path):
+    """The admission predicate reaches the parquet scan as PushedFilters —
+    quarantined rows are skipped by row-group stats, not read then dropped."""
+    path = str(tmp_path / "t.parquet")
+    transcripts.write.mode("overwrite").parquet(path)
+    p = plan(EX.admissible(spark.read.parquet(path)))
+    assert "PushedFilters: [" in p
+    assert "IsNotNull" in p.split("PushedFilters:", 1)[1][:200]
+
+
+def test_dictionary_link_broadcasts(spark, transcripts):
+    """The dictionary-side join is a BroadcastHashJoin (no shuffle of the
+    mention table) when broadcast_dict=True."""
+    mentions = EX.extract_mentions(transcripts, ["alpha", "beta"])
+    p = plan(LK.link_mentions(mentions, synth.entity_dictionary(spark)))
+    assert "BroadcastHashJoin" in p
+    # and the big (mentions) side is not exchanged for the join: the only
+    # exchange allowed is the broadcast one
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_rewrite_triples_join_strategy_policy(spark):
+    """broadcast_map=True plans a broadcast join; False plans a shuffle join
+    (the entity-scale path where the canonical map exceeds broadcast range)."""
+    triples = synth.transcripts(spark, n_convs=5, seed=3).selectExpr(
+        "conv_id AS subj", "'p' AS pred", "text AS obj_iri",
+        "CAST(NULL AS STRING) AS obj_lit", "CAST(NULL AS STRING) AS obj_lang",
+        "CAST(NULL AS STRING) AS obj_dtype", "conv_id", "turn_idx",
+    )
+    mapping = spark.createDataFrame([("a", "b")], "from_iri string, to_iri string")
+    p_bc = plan(CN.rewrite_triples(triples, mapping, broadcast_map=True))
+    p_sj = plan(CN.rewrite_triples(triples, mapping, broadcast_map=False))
+    assert "BroadcastHashJoin" in p_bc
+    assert "SortMergeJoin" in p_sj or "ShuffledHashJoin" in p_sj
