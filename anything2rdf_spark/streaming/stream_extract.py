@@ -45,6 +45,23 @@ def streaming_conv_stats(transcripts_stream: DataFrame, watermark: str = "10 min
     )
 
 
+def streaming_dedup_turns(transcripts_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Bounded-state streaming exact-dedup: fingerprint each turn's text
+    (same normalization as the batch `textstats.doc_fingerprint`) and drop
+    duplicates via ``dropDuplicatesWithinWatermark`` — the state store keeps
+    one row per fingerprint only until the watermark passes it, so state is
+    bounded by (arrival rate × watermark), not by stream length. The batch
+    equivalent (``dropDuplicates`` on the same fingerprint) is test-enforced
+    for duplicates arriving inside the watermark window."""
+    from ..operators.textstats import doc_fingerprint
+
+    return (
+        transcripts_stream.withColumn("fp", doc_fingerprint("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, src_path: str, name: str = "stream_triples"):
     """Drive the streaming extraction synchronously over existing files
     (local smoke harness): memory sink + processAllAvailable."""

@@ -112,3 +112,44 @@ def test_streaming_sessionize_state_eviction_across_watermark(spark, tmp_path):
     assert g == w
     sessions = {s for _, _, s in g}
     assert len(sessions) == 3  # cA pre-eviction, cA post-eviction, cB
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over the text fingerprint equals batch
+    dropDuplicates for duplicates arriving inside the watermark window,
+    including duplicates split ACROSS micro-batches."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.textstats import doc_fingerprint
+
+    ts = synth.transcripts(spark, n_convs=8, seed=35)
+    # duplicate half the turns verbatim (formatting noise only differs)
+    dup = ts.withColumn("text", F.concat(F.col("text"), F.lit("  "))).limit(40)
+    src = str(tmp_path / "dedup_src")
+    ts.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes: duplicates arrive in a LATER micro-batch
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        SE.streaming_dedup_turns(SE.read_transcripts_stream(spark, src, max_files=1))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_dedup")
+
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("fp", doc_fingerprint("text"))
+        .dropDuplicates(["fp"])
+    )
+    assert got.count() == batch.count()
+    assert (
+        got.select("fp").exceptAll(batch.select("fp")).count() == 0
+        and batch.select("fp").exceptAll(got.select("fp")).count() == 0
+    )
