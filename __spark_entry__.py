@@ -2569,6 +2569,59 @@ SELECT grp, ngram, cnt, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+# dedup_contamination — operators/dedupe.ngram_contamination: benchmark
+# decontamination by word-n-gram collision (corpus = documents, probe set =
+# literal benchmark snippets, n=3 for the short synthetic texts). The oracle
+# rebuilds distinct trigrams positionally on BOTH sides and recounts the
+# collisions per (doc, probe) pair.
+_PROBE_ROWS = [
+    ("p1", "key agg row scan slow fast"),
+    ("p2", "the line sort table window"),
+    ("p3", "zebra quantum xylophone never appears"),
+]
+
+
+def _contam_spark(spark: SparkSession) -> DataFrame:
+    probes = spark.createDataFrame(_PROBE_ROWS, "probe_id string, text string")
+    return DD.ngram_contamination(spark.table("documents"), probes, n=3)
+
+
+def _contam_oracle() -> str:
+    return rf"""
+WITH corpus_toks AS (
+  SELECT doc_id, l[i] AS tok, i AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS l
+        FROM documents),
+       UNNEST(generate_series(1, len(l))) AS g(i)
+),
+c_ng AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS g
+    FROM corpus_toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE g IS NOT NULL
+),
+probe_toks AS (
+  SELECT probe_id, l[i] AS tok, i AS pos
+  FROM (SELECT probe_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS l
+        FROM {_sql_values(_PROBE_ROWS, 'probe_id, text')}),
+       UNNEST(generate_series(1, len(l))) AS g(i)
+),
+p_ng AS (
+  SELECT DISTINCT probe_id, g FROM (
+    SELECT probe_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS g
+    FROM probe_toks WINDOW w AS (PARTITION BY probe_id ORDER BY pos)
+  ) WHERE g IS NOT NULL
+),
+p_tot AS (SELECT probe_id, COUNT(*) AS probe_ngrams FROM p_ng GROUP BY 1)
+SELECT c.doc_id, p.probe_id, COUNT(*) AS n_overlap, any_value(t.probe_ngrams) AS probe_ngrams,
+       COUNT(*) / any_value(t.probe_ngrams)::DOUBLE AS contamination
+FROM c_ng c JOIN p_ng p ON c.g = p.g JOIN p_tot t ON p.probe_id = t.probe_id
+GROUP BY c.doc_id, p.probe_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2624,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _pq(_tokens_spark),
         "text_repetition": _pq(_rep_spark),
         "text_top_ngrams": _pq(_topng_spark),
+        "dedup_contamination": _pq(_contam_spark),
         "text_langid": _pq(_langid_spark),
         "text_quality": _pq(_quality_spark),
         "sim_cosine_topk": _pq(_cosine_spark),
@@ -2688,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _TOKENS_ORACLE,
         "text_repetition": _REP_ORACLE,
         "text_top_ngrams": _TOPNG_ORACLE,
+        "dedup_contamination": _contam_oracle(),
         "text_langid": _LANGID_ORACLE,
         "text_quality": _QUALITY_ORACLE,
         "sim_cosine_topk": _COSINE_ORACLE,

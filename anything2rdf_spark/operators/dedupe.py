@@ -318,3 +318,60 @@ def simhash_hamming_candidates(
     return hamming_candidates_from_sigs(
         sig, max_hamming=max_hamming, blocks=blocks, max_bucket=max_bucket
     )
+
+
+def _word_ngrams(text_col, n: int):
+    """Distinct word n-grams of a text column as an array (native exprs)."""
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+    n_ng = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_ng, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    corpus_id: str = "doc_id",
+    probe_id: str = "probe_id",
+    text_col: str = "text",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: for each (corpus doc, probe) pair,
+    the count and fraction of the probe's distinct word ``n``-grams that
+    appear verbatim in the doc — the standard decontamination primitive
+    (n-gram collision against held-out eval sets; GPT-3 appendix C /
+    PaLM-style 13-gram rule).
+
+    Scale shape: both sides shingle to DISTINCT n-grams (explode), then one
+    equi-join on the n-gram. The probe side is benchmark-sized, so it
+    broadcasts by default — the corpus is never shuffled, the scan stays one
+    pass, and the output is bounded by actual collisions. Returns
+    (corpus_id, probe_id, n_overlap, probe_ngrams, contamination) for pairs
+    with at least one collision.
+    """
+    c_ng = corpus.select(
+        F.col(corpus_id), F.explode(_word_ngrams(F.col(text_col), n)).alias("ngram")
+    )
+    p_sh = probes.select(
+        F.col(probe_id), _word_ngrams(F.col(text_col), n).alias("ngrams")
+    ).withColumn("probe_ngrams", F.size("ngrams"))
+    p_ng = p_sh.select(probe_id, "probe_ngrams", F.explode("ngrams").alias("ngram"))
+    if broadcast_probes:
+        p_ng = F.broadcast(p_ng)
+    return (
+        c_ng.join(p_ng, "ngram")
+        .groupBy(corpus_id, probe_id, "probe_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            corpus_id,
+            probe_id,
+            "n_overlap",
+            "probe_ngrams",
+            (F.col("n_overlap") / F.col("probe_ngrams")).alias("contamination"),
+        )
+    )

@@ -160,3 +160,28 @@ def test_exact_dedup_on_documents_table(spark, docs):
     n = docs.count()
     assert out.count() == n
     assert out.filter(F.col("is_dup")).count() == n - out.select("canonical_id").distinct().count()
+
+
+def test_ngram_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "totally different words here now"),
+        ],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("exact", "alpha beta gamma delta epsilon"),  # verbatim -> 1.0
+            ("part", "beta gamma delta zzz yyy xxx"),     # 1 of 4 trigrams
+            ("none", "qq ww ee rr tt"),                   # no collision -> no row
+        ],
+        "probe_id string, text string",
+    )
+    got = {
+        (r["doc_id"], r["probe_id"]): (r["n_overlap"], r["probe_ngrams"], r["contamination"])
+        for r in DD.ngram_contamination(corpus, probes, n=3).collect()
+    }
+    assert got[(1, "exact")] == (3, 3, 1.0)
+    assert got[(1, "part")] == (1, 4, 0.25)
+    assert all(p != "none" for (_, p) in got)
