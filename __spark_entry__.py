@@ -2480,7 +2480,7 @@ UNION ALL SELECT 'ttl' AS fmt, line FROM (VALUES {headers}) h(line)
 # namespace, summarized as per-(side, pred) counts. The oracle composes the
 # two existing independent recomputes (turn-triples CTE + ontology decls)
 # and re-derives the split with a namespace CASE.
-def _kg_split_spark(spark: SparkSession) -> DataFrame:
+def _kg_schema_split_spark(spark: SparkSession) -> DataFrame:
     from anything2rdf_spark.operators import sinks as SK
 
     inst = EX.extract_triples(spark.table("transcripts"))
@@ -2667,7 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wiki_templates": _pq(_kg_wiki_spark),
         "kg_flatten_tree": _pq(_kg_flatten_spark),
         "kg_rdf_lines": _pq(_kg_rdf_spark),
-        "kg_schema_split": _pq(_kg_split_spark),
+        "kg_schema_split": _pq(_kg_schema_split_spark),
         # training-data extras (package-routed)
         "dedup_exact": _pq(_dedup_exact_spark),
         "dedup_fingerprint": _pq(_fingerprint_spark),
