@@ -2622,6 +2622,40 @@ GROUP BY c.doc_id, p.probe_id
 """
 
 
+# dedup_clusters — the end-to-end near-dup dedup workflow as ONE row:
+# MinHash-LSH candidate pairs (dedupe.minhash_lsh_candidates, md5_60 mode)
+# fed into the distributed union-find (canonicalize.connected_components) to
+# form dedup clusters; output = (cluster_id = canonical min doc_id,
+# cluster_size). The oracle chains the minhash signature recompute with a
+# recursive-CTE transitive closure — the composition is hash-checked, not
+# just the stage operators.
+def _dedup_clusters_spark(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents").filter("doc_id < 200")
+    pairs = DD.minhash_lsh_candidates(
+        docs, shingle_n=3, num_hashes=8, bands=4, hash_mode="md5_60"
+    )
+    comp = CN.connected_components(pairs, src="a", dst="b")
+    return comp.groupBy(F.col("canonical_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+und AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS reached FROM und
+  UNION SELECT b, b FROM und
+  UNION
+  SELECT r.node, u.b AS reached FROM reach r JOIN und u ON r.reached = u.a
+),
+comp AS (SELECT node, min(reached) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2678,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _pq(_rep_spark),
         "text_top_ngrams": _pq(_topng_spark),
         "dedup_contamination": _pq(_contam_spark),
+        "dedup_clusters": _pq(_dedup_clusters_spark),
         "text_langid": _pq(_langid_spark),
         "text_quality": _pq(_quality_spark),
         "sim_cosine_topk": _pq(_cosine_spark),
@@ -2743,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _REP_ORACLE,
         "text_top_ngrams": _TOPNG_ORACLE,
         "dedup_contamination": _contam_oracle(),
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "text_langid": _LANGID_ORACLE,
         "text_quality": _QUALITY_ORACLE,
         "sim_cosine_topk": _COSINE_ORACLE,
