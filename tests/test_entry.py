@@ -57,3 +57,28 @@ def test_query_matches_oracle(spark, name):
         return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
     assert norm(srows, scols) == norm(orows, ocols)
+
+
+def test_driver_queries_are_distinct_callables():
+    """Every queries() entry must be a DISTINCT underlying function: a
+    module-level def that shadows an earlier same-named def silently points
+    two query keys at one implementation (caught live in round 3 when the
+    kg_schema_split helper shadowed kg_multivalue_split's)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    underlying = {}
+    for name, fn in qs.items():
+        # _pq wraps the real query fn in a closure; unwrap via closure cells
+        cells = [
+            c.cell_contents
+            for c in (fn.__closure__ or [])
+            if callable(getattr(c, "cell_contents", None))
+        ]
+        target = cells[0] if cells else fn
+        underlying.setdefault(id(target), []).append(name)
+    dupes = {tuple(v) for v in underlying.values() if len(v) > 1}
+    assert not dupes, f"queries sharing one implementation: {dupes}"
+
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle for a query that does not exist"
