@@ -2656,6 +2656,34 @@ SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
 """
 
 
+# text_pii_redact — operators/textstats.redact_pii: email/IPv4/phone masking
+# as a chained native regexp_replace. The oracle re-runs the same ordered
+# pattern spec through DuckDB's RE2 engine — two independent regex engines
+# must agree on every fixture row.
+_PII_ROWS = [
+    (1, "contact me at alice.smith+x@example.co.uk or bob@site.org today"),
+    (2, "server 192.168.1.254 answered; backup at 10.0.0.1"),
+    (3, "call +358401234567 or 0040123456789 now"),
+    (4, "mixed: a@b.io from 8.8.8.8 dialing 123456789"),
+    (5, "clean text with short 12345 number and no pii"),
+]
+
+
+def _pii_spark(spark: SparkSession) -> DataFrame:
+    df = spark.createDataFrame(_PII_ROWS, "pid int, text string")
+    return df.select("pid", TS.redact_pii("text").alias("redacted"))
+
+
+def _pii_oracle() -> str:
+    out = "text"
+    for pat, token in TS.PII_PATTERNS:
+        out = f"regexp_replace({out}, {_lit(pat)}, {_lit(token)}, 'g')"
+    return (
+        f"SELECT CAST(pid AS INT) AS pid, {out} AS redacted "
+        f"FROM {_sql_values(_PII_ROWS, 'pid, text')}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2713,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": _pq(_topng_spark),
         "dedup_contamination": _pq(_contam_spark),
         "dedup_clusters": _pq(_dedup_clusters_spark),
+        "text_pii_redact": _pq(_pii_spark),
         "text_langid": _pq(_langid_spark),
         "text_quality": _pq(_quality_spark),
         "sim_cosine_topk": _pq(_cosine_spark),
@@ -2779,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_ngrams": _TOPNG_ORACLE,
         "dedup_contamination": _contam_oracle(),
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "text_pii_redact": _pii_oracle(),
         "text_langid": _LANGID_ORACLE,
         "text_quality": _QUALITY_ORACLE,
         "sim_cosine_topk": _COSINE_ORACLE,

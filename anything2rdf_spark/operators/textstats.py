@@ -144,3 +144,25 @@ def corpus_top_ngrams(docs, text_col: str = "text", by: str = "source",
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# PII scrub patterns, applied in order (email before phone so the digits in
+# a mailbox name aren't half-masked first). Same regex dialect subset works
+# in Java (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\b\d{9,15}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text) -> Column:
+    """Training-data PII scrub: mask emails, IPv4 addresses, and long digit
+    runs (phone-like) with typed placeholder tokens — a chained native
+    regexp_replace (one pass per pattern inside the same codegen stage; no
+    Python, no shuffle). Pattern order is part of the spec: email first so
+    mailbox digits don't get phone-masked."""
+    out = _c(text)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -104,3 +104,17 @@ def test_corpus_top_ngrams_deterministic_ties(spark):
     assert got[("s1", 1)] == ("a b", 2)
     assert got[("s1", 2)] == ("b a", 1)  # 'b a' < 'c d' on the tie
     assert got[("s2", 1)] == ("z z", 2)
+
+
+def test_redact_pii(spark):
+    rows = [
+        ("e", "mail bob.smith@corp.example please", "mail <EMAIL> please"),
+        ("ip", "ping 10.0.0.1 ok", "ping <IP> ok"),
+        ("ph", "call +358401234567", "call <PHONE>"),
+        ("short", "order 12345 stays", "order 12345 stays"),
+        ("mix", "a@b.io at 8.8.8.8", "<EMAIL> at <IP>"),
+    ]
+    df = spark.createDataFrame([(k, t) for k, t, _ in rows], "k string, t string")
+    got = {r["k"]: r["o"] for r in df.select("k", TS.redact_pii("t").alias("o")).collect()}
+    for k, _, want in rows:
+        assert got[k] == want, (k, got[k], want)
