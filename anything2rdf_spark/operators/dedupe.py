@@ -321,15 +321,12 @@ def simhash_hamming_candidates(
 
 
 def _word_ngrams(text_col, n: int):
-    """Distinct word n-grams of a text column as an array (native exprs)."""
+    """Distinct word n-grams of a text column as an array (native exprs);
+    empty for texts shorter than ``n`` (guard in word_ngram_array)."""
+    from .textstats import word_ngram_array
+
     toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
-    n_ng = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_ng, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    return F.array_distinct(word_ngram_array(toks, n))
 
 
 def ngram_contamination(

@@ -93,6 +93,21 @@ def _ws_tokens(text) -> Column:
     return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda t: t != "")
 
 
+def word_ngram_array(toks, n: int) -> Column:
+    """Word n-grams of a token array; EMPTY for inputs shorter than ``n``.
+    The guard matters: ``sequence(1, 0)`` in Spark is the DESCENDING
+    ``[1, 0]`` (not empty), and ``slice(_, 0, n)`` throws — so short texts
+    must short-circuit to an empty array, never reach the sequence."""
+    n_ng = F.size(toks) - (n - 1)
+    return F.when(
+        n_ng >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_ng, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def dup_ngram_fraction(text, n: int = 3) -> Column:
     """Intra-document repetition score: fraction of word n-grams that are
     duplicates of an earlier n-gram in the same document (the Gopher/
@@ -105,10 +120,7 @@ def dup_ngram_fraction(text, n: int = 3) -> Column:
     """
     toks = _ws_tokens(text)
     n_ng = F.size(toks) - (n - 1)
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_ng, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    ngrams = word_ngram_array(toks, n)
     distinct = F.size(F.array_distinct(ngrams))
     return (
         F.when(n_ng >= 1, (n_ng - distinct) / n_ng.cast("double"))
@@ -129,11 +141,7 @@ def corpus_top_ngrams(docs, text_col: str = "text", by: str = "source",
     from pyspark.sql import Window
 
     toks = _ws_tokens(F.col(text_col))
-    n_ng = F.size(toks) - (n - 1)
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_ng, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    ngrams = word_ngram_array(toks, n)
     counts = (
         docs.select(F.col(by).alias("grp"), F.explode(ngrams).alias("ngram"))
         .groupBy("grp", "ngram")

@@ -118,3 +118,19 @@ def test_redact_pii(spark):
     got = {r["k"]: r["o"] for r in df.select("k", TS.redact_pii("t").alias("o")).collect()}
     for k, _, want in rows:
         assert got[k] == want, (k, got[k], want)
+
+
+def test_ngram_ops_survive_short_texts(spark):
+    """Regression: sequence(1, 0) is DESCENDING in Spark and slice(_, 0, n)
+    throws — texts shorter than n must yield empty n-gram sets, not errors."""
+    from anything2rdf_spark.operators import dedupe as DD
+
+    df = spark.createDataFrame(
+        [("s1", "a b"), ("s1", ""), ("s1", "a b c d")], "source string, text string"
+    )
+    top = TS.corpus_top_ngrams(df, n=3, k=5).collect()
+    assert {r["ngram"] for r in top} == {"a b c", "b c d"}
+
+    probes = spark.createDataFrame([("p", "a b")], "probe_id string, text string")
+    docs = df.withColumnRenamed("source", "doc_id")
+    assert DD.ngram_contamination(docs, probes, n=3).collect() == []
