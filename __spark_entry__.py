@@ -135,6 +135,56 @@ def _with_transcripts(oracle_body: str) -> str:
     return f"WITH transcripts AS ({_ORACLE_TRANSCRIPTS}) {oracle_body}"
 
 
+# Suite folding -------------------------------------------------------------
+# The driver's correctness harness records at most the first 50 entries of
+# queries() (observed in CORRECTNESS_r03.json), so standalone rows are folded
+# into suite queries: each member's full result is stringified row-by-row
+# into a uniform (part, row_str) shape on BOTH engines — columns in sorted
+# name order, every cell cast to string with NULL -> '∅', joined with '|'.
+# This keeps full row-level compare strength (same rows, same hash window)
+# while spending one driver slot per suite instead of one per member.
+
+_NULL_CELL = "∅"  # ∅ — explicit NULL sentinel, same on both engines
+
+
+def _suite_spark(parts):
+    """parts: list of (tag, spark_fn) where spark_fn(spark) -> DataFrame."""
+
+    def run(spark: SparkSession) -> DataFrame:
+        dfs = []
+        for tag, fn in parts:
+            df = fn(spark)
+            cells = [
+                F.coalesce(F.col(c).cast("string"), F.lit(_NULL_CELL))
+                for c in sorted(df.columns)
+            ]
+            dfs.append(
+                df.select(
+                    F.lit(tag).alias("part"),
+                    F.concat_ws("|", *cells).alias("row_str"),
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    return run
+
+
+def _suite_oracle(parts) -> str:
+    """parts: list of (tag, oracle_sql, cols); mirrors _suite_spark exactly."""
+    branches = []
+    for tag, sql, cols in parts:
+        cells = " || '|' || ".join(
+            f"coalesce(CAST({c} AS VARCHAR), '{_NULL_CELL}')" for c in sorted(cols)
+        )
+        branches.append(
+            f"SELECT {_lit(tag)} AS part, {cells} AS row_str FROM (\n{sql}\n) AS sub_{tag}"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
 # SQL helpers for oracle construction --------------------------------------
 
 _NULL_V = "CAST(NULL AS VARCHAR)"
@@ -154,6 +204,13 @@ def _tsel(subj, pred, obj_iri=_NULL_V, obj_lit=_NULL_V, obj_lang=_NULL_V,
 
 def _lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_values(rows: list[tuple], cols: str) -> str:
+    def cell(v):
+        return "NULL" if v is None else _lit(str(v))
+
+    return f"(VALUES {', '.join('(' + ', '.join(cell(c) for c in r) + ')' for r in rows)}) AS t({cols})"
 
 
 # ---------------------------------------------------------------------------
@@ -1032,12 +1089,34 @@ FROM documents
 """
 
 
-# text_langid — operators.textstats.lang_id (stopword-hit argmax over 4
-# languages, multiplicity-counting, tie-break by language code order)
+# text_langid — operators.textstats.lang_id (stopword-hit argmax over the
+# 12-language STOPWORDS table, multiplicity-counting, tie-break by language
+# code order). The fixture sentences — one per supported language plus an
+# undetermined sample — ride along with the documents table so every
+# language's classification path is exercised by the gate, not just the
+# (English-ish) synthetic corpus.
+_LANGID_FIXTURE_ROWS = [
+    ("the end of the road is in sight and a plan for the trip is on the table",),
+    ("der mann und die frau ist mit dem kind auf ein fest und das ist nicht schlecht",),
+    ("le chien et la maison est avec pour dans un jardin et une porte les arbres",),
+    ("el perro y la casa es con para en un jardín y una puerta los árboles",),
+    ("il gatto che non dorme per la casa con una porta e gli amici sono di roma",),
+    ("o livro e as casas do mar em lisboa para quem com ela não vive uma vida da cidade os dias",),
+    ("de man en het kind van een huis dat niet voor de stad met zijn vrienden",),
+    ("det är en dag som inte av och på att för alla i staden och det är bra",),
+    ("ja hän on mutta ei että kun joka oli myös talossa ja hän on siellä",),
+    ("i to nie jest się na że do z jak w domu i to jest dobrze",),
+    ("ve bu bir ev için ile olarak da ne gibi çok güzel ve bu bir gün",),
+    ("yang dan di itu dengan untuk tidak ini dari akan rumah yang dan di sana",),
+    ("zzz qqq xyzzy plugh",),
+]
+
+
 def _langid_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_LANGID_FIXTURE_ROWS, "text string")
+    texts = spark.table("documents").select("text").unionByName(fixture)
     return (
-        spark.table("documents")
-        .select(TS.lang_id("text").alias("lang_guess"))
+        texts.select(TS.lang_id("text").alias("lang_guess"))
         .groupBy("lang_guess")
         .agg(F.count("*").alias("n"))
     )
@@ -1057,12 +1136,15 @@ def _langid_oracle() -> str:
         conds = " AND ".join(f"c_{lang} >= c_{later}" for later in langs[i + 1 :])
         case += f"            WHEN {conds} THEN '{lang}'\n"
     case += f"            ELSE '{langs[-1]}' END"
+    fixture = _sql_values(_LANGID_FIXTURE_ROWS, "text")
     return rf"""
 SELECT lang_guess, count(*) AS n FROM (
   SELECT {case} AS lang_guess
   FROM (
     SELECT {counts}
-    FROM (SELECT regexp_split_to_array(lower(text), '[^\p{{L}}]+') AS toks FROM documents) x
+    FROM (SELECT regexp_split_to_array(lower(text), '[^\p{{L}}]+') AS toks
+          FROM (SELECT text FROM documents
+                UNION ALL SELECT text FROM {fixture}) src) x
   ) y
 ) z GROUP BY lang_guess
 """
@@ -1335,13 +1417,15 @@ def _ivf_assign_sql(vtab: str, ctab: str) -> str:
 
 def _ivf_update_sql(assign_tab: str, prev_ctab: str) -> str:
     """New centroids: exact integer element-wise sums of member qv vectors;
-    an empty cluster keeps its previous centroid."""
+    an empty cluster keeps its previous centroid. The dimension bound comes
+    from the data (len(qv)) like the Spark side, never a hardcoded constant —
+    a changed embeddings fixture must not silently NULL-pad centroids."""
     return f"""
   SELECT p.j, coalesce(s.c, p.c) AS c
   FROM {prev_ctab} p LEFT JOIN (
     SELECT cluster AS j, list(sv ORDER BY d) AS c FROM (
       SELECT a.cluster, t.d, sum(a.qv[t.d]) AS sv
-      FROM {assign_tab} a CROSS JOIN generate_series(1, 64) AS t(d)
+      FROM {assign_tab} a, unnest(generate_series(1, len(a.qv))) AS t(d)
       GROUP BY a.cluster, t.d
     ) z GROUP BY cluster
   ) s ON p.j = s.j
@@ -1664,13 +1748,6 @@ def _pipeline_pred_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.triples().groupBy("pred").agg(F.count("*").alias("n"))
 
 
-def _sql_values(rows: list[tuple], cols: str) -> str:
-    def cell(v):
-        return "NULL" if v is None else _lit(str(v))
-
-    return f"(VALUES {', '.join('(' + ', '.join(cell(c) for c in r) + ')' for r in rows)}) AS t({cols})"
-
-
 _PPC_ORACLE = f"""
 WITH RECURSIVE transcripts AS ({_ORACLE_TRANSCRIPTS}),
 adm AS (SELECT * FROM transcripts WHERE role IS NOT NULL AND text IS NOT NULL),
@@ -1798,6 +1875,9 @@ _KG_MIN_DUP_ORACLE = (
 # kg_label_set_dedup — A4 (melt.label_set_dedup, VIAFXML2RDF.scala:143-144):
 # per-language label sets over documents; alt surface 'src<doc_id%25>'
 # guarantees pref/alt overlap so array_except genuinely removes entries.
+# The label sets are rendered as sorted '|'-joined strings on BOTH engines:
+# the driver's pandas canonicalizer factorizes columns for sorting and
+# cannot hash array cells (the r3 red row), so the gate needs scalar output.
 def _kg_labelset_spark(spark: SparkSession) -> DataFrame:
     docs = spark.table("documents").select(
         "lang",
@@ -1807,8 +1887,8 @@ def _kg_labelset_spark(spark: SparkSession) -> DataFrame:
     out = MT.label_set_dedup(docs, "lang", "pref", "alt")
     return out.select(
         "lang",
-        F.array_sort("pref_labels").alias("pref_labels"),
-        F.array_sort("alt_labels").alias("alt_labels"),
+        F.concat_ws("|", F.array_sort("pref_labels")).alias("pref_labels"),
+        F.concat_ws("|", F.array_sort("alt_labels")).alias("alt_labels"),
     )
 
 
@@ -1821,8 +1901,9 @@ g AS (
   SELECT lang, list_sort(list(DISTINCT pref)) AS pl, list(DISTINCT alt) AS al
   FROM d GROUP BY lang
 )
-SELECT lang, pl AS pref_labels,
-       list_sort(list_filter(al, x -> NOT list_contains(pl, x))) AS alt_labels
+SELECT lang, array_to_string(pl, '|') AS pref_labels,
+       array_to_string(list_sort(list_filter(al, x -> NOT list_contains(pl, x))), '|')
+         AS alt_labels
 FROM g
 """
 
@@ -2054,9 +2135,19 @@ _RFX_S7_EXPECTED = [
 
 def _ensure_reader_fixtures() -> str:
     import gzip
+    import hashlib
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "a2r_reader_fixtures")
+    # Content-hashed directory name: editing any fixture constant lands in a
+    # fresh directory, so the exists-skip below can never serve a stale file
+    # from a previous run against new hand-derived expected rows.
+    content = repr((
+        _RFX_POS_CSV, _RFX_DICT_CSV, _RFX_TSV, _RFX_LINES, _RFX_JSONL,
+        _RFX_MARKER, sorted(_RFX_GLOB.items()), _RFX_XML, _RFX_XSD,
+        _RFX_MARC_RECORDS,
+    )).encode()
+    tag = hashlib.sha256(content).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"a2r_reader_fixtures_{tag}")
     os.makedirs(os.path.join(d, "glob"), exist_ok=True)
 
     def w(rel: str, data, mode: str = "w") -> None:
@@ -2392,6 +2483,10 @@ _RDF_ROWS = [
      "see <http://example.org/x> inline", None, None),
     # ns-prefixed IRI with a PN_LOCAL-unsafe local name: stays <full> in ttl
     ("http://example.org/s7", "http://example.org/p", "http://example.org/a/b", None, None, None),
+    # PN_LOCAL may CONTAIN but not END with '.': 'v1.x' compacts, 'v1.'
+    # must stay <full> or 'ex:v1. .' merges with the statement terminator
+    ("http://example.org/s8", "http://example.org/p", "http://example.org/v1.", None, None, None),
+    ("http://example.org/s9", "http://example.org/p", "http://example.org/v1.x", None, None, None),
 ]
 
 
@@ -2439,7 +2534,7 @@ def _rdf_oracle() -> str:
     )
     term = "CASE WHEN starts_with({c}, '_:') THEN {c} ELSE '<' || {c} || '>' END"
     # ttl term: longest-namespace-first compaction, PN_LOCAL-safe locals only
-    safe = "'^[A-Za-z0-9_][A-Za-z0-9_.-]*$'"
+    safe = "'^[A-Za-z0-9_]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$'"
     branches = ""
     for pfx, ns in sorted(_RDF_PREFIXES.items(), key=lambda kv: -len(kv[1])):
         loc = f"substr({{c}}, {len(ns) + 1})"
@@ -2666,6 +2761,12 @@ _PII_ROWS = [
     (3, "call +358401234567 or 0040123456789 now"),
     (4, "mixed: a@b.io from 8.8.8.8 dialing 123456789"),
     (5, "clean text with short 12345 number and no pii"),
+    # Luhn-valid card numbers (test PANs): contiguous, spaced, dashed
+    (6, "card 4532015112830366 expires soon"),
+    (7, "pay with 4111 1111 1111 1111 or 5500-0000-0000-0004 today"),
+    # 16 contiguous digits that FAIL Luhn: must stay unmasked (too long for
+    # the phone pattern, checksum-rejected by the card pattern)
+    (8, "order id 1234567890123456 is not a card"),
 ]
 
 
@@ -2674,10 +2775,36 @@ def _pii_spark(spark: SparkSession) -> DataFrame:
     return df.select("pid", TS.redact_pii("text").alias("redacted"))
 
 
+def _cc_mask_sql(expr: str, pat: str, token: str) -> str:
+    """DuckDB mirror of the Luhn-gated card mask: extract candidates,
+    keep those whose Luhn checksum passes, left-fold replace() over them
+    with the text as the initial accumulator (list_prepend + list_reduce)."""
+    dig = "regexp_replace(c, '[^0-9]', '', 'g')"
+    d_at = f"CAST(substr({dig}, i, 1) AS INT)"
+    term = (
+        f"CASE WHEN (length({dig}) - i) % 2 = 1 "
+        f"THEN CASE WHEN {d_at} * 2 > 9 THEN {d_at} * 2 - 9 ELSE {d_at} * 2 END "
+        f"ELSE {d_at} END"
+    )
+    luhn_ok = (
+        f"list_sum(list_transform(generate_series(1, length({dig})), i -> {term})) % 10 = 0"
+    )
+    valid = (
+        f"list_filter(list_distinct(regexp_extract_all({expr}, {_lit(pat)})), c -> {luhn_ok})"
+    )
+    return (
+        f"list_reduce(list_prepend({expr}, {valid}), "
+        f"(acc, c) -> replace(acc, c, {_lit(token)}))"
+    )
+
+
 def _pii_oracle() -> str:
     out = "text"
     for pat, token in TS.PII_PATTERNS:
-        out = f"regexp_replace({out}, {_lit(pat)}, {_lit(token)}, 'g')"
+        if token == "<CC>":
+            out = _cc_mask_sql(out, pat, token)
+        else:
+            out = f"regexp_replace({out}, {_lit(pat)}, {_lit(token)}, 'g')"
     return (
         f"SELECT CAST(pid AS INT) AS pid, {out} AS redacted "
         f"FROM {_sql_values(_PII_ROWS, 'pid, text')}"
@@ -2691,17 +2818,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return EX.extract_triples(spark.table("transcripts"))
 
 
+# Suite part lists: (tag, spark_fn) + oracle (tag, sql, cols). Folded per the
+# round-3 verdict so every remaining query fits inside the driver harness's
+# 50-row recording window. Operator-id mapping lives in COVERAGE.md.
+
+_JOIN_SUITE = [
+    # A2 — canonicalize.min_dup_map (schoenbergcsv2rdf.scala:135)
+    ("min_dup_map", _kg_min_dup_spark),
+    # J2 — link.composite_key_link (HelmetMARC2ISBNRDF.scala:79-101)
+    ("composite_key_join", _kg_ckj_spark),
+    # J9 — link.precedence_link (first-match precedence)
+    ("first_match_precedence", _kg_prec_spark),
+    # J1/J3 — extract_mentions + link_mentions get-or-create
+    ("get_or_create", _kg_goc_spark),
+]
+
+_JOIN_SUITE_ORACLE = [
+    ("min_dup_map", _KG_MIN_DUP_ORACLE, ["src_id", "min_dup"]),
+    ("composite_key_join", _KG_CKJ_ORACLE, ["lang", "source", "doc_id", "collection"]),
+    ("first_match_precedence", _KG_PREC_ORACLE, ["c_custkey", "resolved"]),
+    ("get_or_create", _KG_GOC_ORACLE,
+     ["conv_id", "turn_idx", "surface", "norm_surface", "entity_iri", "matched"]),
+]
+
+_HIER_SUITE = [
+    # W4 — windows.numeric_prefix_hierarchy (YKLXML2RDF.scala:50-51)
+    ("numeric_prefix", _kg_numpref_spark),
+    # W3 — windows.path_prefix_hierarchy
+    ("path_hierarchy", _kg_path_spark),
+    # G4 — hierarchy.flatten_tree (grandtourjson2rdf.scala:57-94)
+    ("flatten_tree", _kg_flatten_spark),
+]
+
+_HIER_SUITE_ORACLE = [
+    ("numeric_prefix", _KG_NUMPREF_ORACLE, ["code", "broader"]),
+    ("path_hierarchy", _KG_PATH_ORACLE, ["narrower", "broader"]),
+    ("flatten_tree", _G4_ORACLE, ["id", "parent_id", "depth", "name"]),
+]
+
+_GUARD_SUITE = [
+    # P2 — functions.text.drop_sentinels
+    ("sentinel_guards", _kg_sentinel_spark),
+    # P6/P7 — functions.predicates.predicate_choice
+    ("uncertainty_predicate", _kg_uncert_spark),
+    # F18 — functions.dates.certainty_bucket
+    ("certainty_bucket", _kg_cert_spark),
+    # F8 — functions.text.multi_value_split
+    ("multivalue_split", _kg_split_spark),
+    # F11 — functions.text.parse_wiki_templates_udf
+    ("wiki_templates", _kg_wiki_spark),
+]
+
+_GUARD_SUITE_ORACLE = [
+    ("sentinel_guards", _KG_SENTINEL_ORACLE, ["l_returnflag", "l_linestatus", "n"]),
+    ("uncertainty_predicate", _KG_UNCERT_ORACLE, ["pred", "n"]),
+    ("certainty_bucket", _KG_CERT_ORACLE, ["bucket", "n"]),
+    ("multivalue_split", _KG_SPLIT_ORACLE, ["word", "n"]),
+    ("wiki_templates", _WIKI_ORACLE, ["pid", "template", "key", "value"]),
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # Round-3 flagships and fixes FIRST: the driver harness records at
+        # most the first 50 entries in dict order, and these 8 had no green
+        # row in CORRECTNESS_r03.json (7 rowless + 1 array-typed red).
+        "sim_lsh_recall": _pq(_sim_lsh_recall_spark),
+        "sim_ivf_recall": _pq(_sim_ivf_recall_spark),
+        "sim_embedding_neardup": _pq(_neardup_spark),
+        "kg_mentions_pandas_udf": _pq(_kg_mentions_spark),
+        # full-pipeline composition gate (per-predicate counts of the final
+        # materialized table, oracle = DuckDB re-derivation of the whole
+        # staged composition)
+        "kg_pipeline_pred_counts": _pipeline_pred_counts_spark,
+        # non-SQL-expressible (rows-only)
+        "kg_pipeline_full": _pipeline_spark,
+        "multimodal_features": _multimodal_spark,
+        "kg_label_set_dedup": _pq(_kg_labelset_spark),
         # KG core (package-routed)
         "kg_turn_triples": _pq(_kg_turn_triples_spark),
         "kg_turn_ordering": _pq(_kg_order_spark),
         "kg_next_turn_edges": _pq(_kg_next_spark),
         "kg_sessionize": _pq(_kg_sess_spark),
         "kg_dedup_triples": _pq(_kg_dedup_spark),
-        "kg_sentinel_guards": _pq(_kg_sentinel_spark),
-        "kg_uncertainty_predicate": _pq(_kg_uncert_spark),
-        "kg_certainty_bucket": _pq(_kg_cert_spark),
         "kg_date_bounds": _pq(_kg_date_spark),
         "kg_qualifier_bounds": _pq(_kg_qual_spark),
         "kg_reification": _pq(_kg_reify_spark),
@@ -2709,25 +2908,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_connected_components": _pq(_kg_cc_spark),
         "kg_hierarchy_rollup": _pq(_kg_rollup_spark),
         "kg_degree_merge": _pq(_kg_merge_spark),
-        "kg_get_or_create": _pq(_kg_goc_spark),
         "kg_quarantine": _pq(_kg_quarantine_spark),
-        "kg_first_match_precedence": _pq(_kg_prec_spark),
-        "kg_multivalue_split": _pq(_kg_split_spark),
-        "kg_path_hierarchy": _pq(_kg_path_spark),
         "kg_code_table_join": _pq(_kg_code_spark),
         "kg_scalar_suite": _pq(_kg_scalar_suite_spark),
+        # folded suites (see COVERAGE.md for the id -> part mapping)
+        "kg_join_suite": _pq(_suite_spark(_JOIN_SUITE)),
+        "kg_hier_suite": _pq(_suite_spark(_HIER_SUITE)),
+        "kg_guard_suite": _pq(_suite_spark(_GUARD_SUITE)),
         # round-3 widening (previously pytest-only ids)
-        "kg_min_dup_map": _pq(_kg_min_dup_spark),
-        "kg_label_set_dedup": _pq(_kg_labelset_spark),
-        "kg_composite_key_join": _pq(_kg_ckj_spark),
-        "kg_numeric_prefix": _pq(_kg_numpref_spark),
         "kg_melt_route": _pq(_kg_melt_spark),
         "kg_consistency_violations": _pq(_kg_p8_spark),
         "kg_ontology_triples": _pq(_kg_ontology_spark),
         "kg_reader_suite": _pq(_kg_reader_suite_spark),
         "kg_scalar_suite2": _pq(_kg_scalar2_spark),
-        "kg_wiki_templates": _pq(_kg_wiki_spark),
-        "kg_flatten_tree": _pq(_kg_flatten_spark),
         "kg_rdf_lines": _pq(_kg_rdf_spark),
         "kg_schema_split": _pq(_kg_schema_split_spark),
         # training-data extras (package-routed)
@@ -2746,31 +2939,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _pq(_quality_spark),
         "sim_cosine_topk": _pq(_cosine_spark),
         "sim_lsh_ann": _pq(_sim_lsh_spark),
-        "sim_lsh_recall": _pq(_sim_lsh_recall_spark),
-        "sim_ivf_recall": _pq(_sim_ivf_recall_spark),
-        "sim_embedding_neardup": _pq(_neardup_spark),
-        "kg_mentions_pandas_udf": _pq(_kg_mentions_spark),
-        # full-pipeline composition gate (per-predicate counts of the final
-        # materialized table, oracle = DuckDB re-derivation of the whole
-        # staged composition)
-        "kg_pipeline_pred_counts": _pipeline_pred_counts_spark,
-        # non-SQL-expressible (rows-only)
-        "kg_pipeline_full": _pipeline_spark,
-        "multimodal_features": _multimodal_spark,
     }
+    assert len(q) <= 50, "driver harness records only the first 50 queries"
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sim_lsh_recall": _SIM_LSH_RECALL_ORACLE,
+        "sim_ivf_recall": _SIM_IVF_RECALL_ORACLE,
+        "sim_embedding_neardup": _NEARDUP_ORACLE,
+        "kg_mentions_pandas_udf": _ORACLE_MENTIONS,
+        "kg_pipeline_pred_counts": _PPC_ORACLE,
+        # kg_pipeline_full intentionally absent: the staged pipeline is not
+        # one SQL statement; the driver records its rows-only check.
+        "multimodal_features": _MULTIMODAL_ORACLE,
+        "kg_label_set_dedup": _KG_LABELSET_ORACLE,
         "kg_turn_triples": _KG_TURN_TRIPLES_ORACLE,
         "kg_turn_ordering": _KG_ORDER_ORACLE,
         "kg_next_turn_edges": _KG_NEXT_ORACLE,
         "kg_sessionize": _KG_SESS_ORACLE,
         "kg_dedup_triples": _KG_DEDUP_ORACLE,
-        "kg_sentinel_guards": _KG_SENTINEL_ORACLE,
-        "kg_uncertainty_predicate": _KG_UNCERT_ORACLE,
-        "kg_certainty_bucket": _KG_CERT_ORACLE,
         "kg_date_bounds": _KG_DATE_ORACLE,
         "kg_qualifier_bounds": _KG_QUAL_ORACLE,
         "kg_reification": _KG_REIFY_ORACLE,
@@ -2778,24 +2967,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_connected_components": _KG_CC_ORACLE,
         "kg_hierarchy_rollup": _KG_ROLLUP_ORACLE,
         "kg_degree_merge": _KG_MERGE_ORACLE,
-        "kg_get_or_create": _KG_GOC_ORACLE,
         "kg_quarantine": _KG_QUARANTINE_ORACLE,
-        "kg_first_match_precedence": _KG_PREC_ORACLE,
-        "kg_multivalue_split": _KG_SPLIT_ORACLE,
-        "kg_path_hierarchy": _KG_PATH_ORACLE,
         "kg_code_table_join": _KG_CODE_ORACLE,
         "kg_scalar_suite": _scalar_oracle(),
-        "kg_min_dup_map": _KG_MIN_DUP_ORACLE,
-        "kg_label_set_dedup": _KG_LABELSET_ORACLE,
-        "kg_composite_key_join": _KG_CKJ_ORACLE,
-        "kg_numeric_prefix": _KG_NUMPREF_ORACLE,
+        "kg_join_suite": _suite_oracle(_JOIN_SUITE_ORACLE),
+        "kg_hier_suite": _suite_oracle(_HIER_SUITE_ORACLE),
+        "kg_guard_suite": _suite_oracle(_GUARD_SUITE_ORACLE),
         "kg_melt_route": _KG_MELT_ORACLE,
         "kg_consistency_violations": _KG_P8_ORACLE,
         "kg_ontology_triples": _ontology_oracle(),
         "kg_reader_suite": _reader_suite_oracle(),
         "kg_scalar_suite2": _scalar2_oracle(),
-        "kg_wiki_templates": _WIKI_ORACLE,
-        "kg_flatten_tree": _G4_ORACLE,
         "kg_rdf_lines": _rdf_oracle(),
         "kg_schema_split": _split_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
@@ -2813,10 +2995,4 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _QUALITY_ORACLE,
         "sim_cosine_topk": _COSINE_ORACLE,
         "sim_lsh_ann": _SIM_LSH_ORACLE,
-        "sim_lsh_recall": _SIM_LSH_RECALL_ORACLE,
-        "sim_ivf_recall": _SIM_IVF_RECALL_ORACLE,
-        "sim_embedding_neardup": _NEARDUP_ORACLE,
-        "kg_mentions_pandas_udf": _ORACLE_MENTIONS,
-        "kg_pipeline_pred_counts": _PPC_ORACLE,
-        "multimodal_features": _MULTIMODAL_ORACLE,
     }

@@ -91,7 +91,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     hash_mode: str = "xxhash64",
-    max_bucket: int = 100_000,
+    max_bucket: int | None = 100_000,
     log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (a < b), deduplicated across
@@ -107,7 +107,13 @@ def minhash_lsh_candidates(
     excluded from pairing (``None`` disables; the cap drops those buckets'
     candidate pairs — an all-identical corpus above the cap should be
     routed through ``exact_duplicates`` first, which is linear).
-    ``log_dropped`` runs one small extra job to log what was dropped."""
+    ``log_dropped`` runs one small extra job to log what was dropped.
+
+    .. note:: Since round 3 the cap is **default-on** (``max_bucket=100_000``)
+       — the default changed from exact candidate generation to
+       subset-under-degeneracy semantics. Callers that need the exact pair
+       set regardless of bucket size must pass ``max_bucket=None``
+       explicitly; ``embedding_neardup_pairs`` made the same change."""
     r = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),

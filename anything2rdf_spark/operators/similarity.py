@@ -223,7 +223,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     dim: int | None = None,
     signature: str = "gauss",
-    max_bucket: int = 100_000,
+    max_bucket: int | None = 100_000,
     log_dropped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via

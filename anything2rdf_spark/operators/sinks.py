@@ -25,8 +25,10 @@ def _term(iri_col):
 
 
 # Turtle PN_LOCAL subset we compact without escaping; anything else keeps
-# the full <IRI> form (conservative: valid output either way).
-_SAFE_LOCAL = "^[A-Za-z0-9_][A-Za-z0-9_.-]*$"
+# the full <IRI> form (conservative: valid output either way). PN_LOCAL must
+# not END with '.' — a trailing dot would merge with the statement terminator
+# ('ex:v1. .' mis-parses) — so the final char class excludes it.
+_SAFE_LOCAL = "^[A-Za-z0-9_]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$"
 
 
 def _compact_term(iri_col, prefixes: dict[str, str]):

@@ -7,12 +7,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# tiny per-language stopword lists for the n-gram/stopword heuristic
+# Per-language high-frequency stopword lists for the stopword-hit heuristic.
+# The argmax design scales to any number of languages for free (one native
+# array expression per language, same scan); extend by adding a row here —
+# the DuckDB oracle in __spark_entry__ is generated from this dict.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "with", "for", "on"],
     "de": ["der", "die", "das", "und", "ist", "mit", "für", "auf", "ein", "nicht"],
     "fr": ["le", "la", "les", "et", "est", "avec", "pour", "dans", "un", "une"],
     "es": ["el", "la", "los", "y", "es", "con", "para", "en", "un", "una"],
+    "it": ["il", "lo", "gli", "che", "di", "per", "con", "non", "una", "sono"],
+    "pt": ["o", "os", "as", "do", "da", "em", "para", "com", "não", "uma"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "voor", "met", "zijn"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "inte"],
+    "fi": ["ja", "on", "ei", "että", "oli", "hän", "joka", "mutta", "kun", "myös"],
+    "pl": ["i", "nie", "to", "się", "na", "że", "jest", "do", "z", "jak"],
+    "tr": ["ve", "bir", "bu", "için", "ile", "olarak", "da", "ne", "gibi", "çok"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"],
 }
 
 BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
@@ -155,22 +166,57 @@ def corpus_top_ngrams(docs, text_col: str = "text", by: str = "source",
 
 
 # PII scrub patterns, applied in order (email before phone so the digits in
-# a mailbox name aren't half-masked first). Same regex dialect subset works
-# in Java (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+# a mailbox name aren't half-masked first; card before phone so a 13-15
+# digit card isn't half-masked as a phone number). Same regex dialect subset
+# works in Java (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+# The <CC> entry is NOT a blind regexp_replace: candidates (13-19 digits
+# with optional single space/dash separators) are verified with a native
+# Luhn checksum and only valid card numbers are masked.
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d(?:[ -]?\d){11,17}\d\b", "<CC>"),
     (r"\+?\b\d{9,15}\b", "<PHONE>"),
 ]
 
 
+def luhn_valid(cand) -> Column:
+    """Native Luhn checksum over the digits of ``cand`` (separators
+    stripped): double every second digit from the right, subtract 9 when
+    the doubled digit exceeds 9, valid iff the sum is a multiple of 10.
+    Pure array expressions — usable inside higher-order lambdas."""
+    digits = F.regexp_replace(_c(cand), r"[^0-9]", "")
+    n = F.length(digits)
+    chars = F.split(digits, "")
+
+    def term(i):
+        d = F.element_at(chars, i).cast("int")
+        dd = d * 2
+        dd9 = F.when(dd > 9, dd - 9).otherwise(dd)
+        # 1-based pos from right = n - i + 1; double when it is even
+        return F.when((n - i) % 2 == 1, dd9).otherwise(d)
+
+    s = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + term(i))
+    return (n > 0) & (s % 10 == 0)
+
+
 def redact_pii(text) -> Column:
-    """Training-data PII scrub: mask emails, IPv4 addresses, and long digit
-    runs (phone-like) with typed placeholder tokens — a chained native
-    regexp_replace (one pass per pattern inside the same codegen stage; no
-    Python, no shuffle). Pattern order is part of the spec: email first so
-    mailbox digits don't get phone-masked."""
+    """Training-data PII scrub: mask emails, IPv4 addresses, Luhn-valid
+    payment-card numbers, and long digit runs (phone-like) with typed
+    placeholder tokens — chained native expressions (one pass per pattern
+    inside the same codegen stage; no Python, no shuffle). Pattern order is
+    part of the spec: email first so mailbox digits don't get phone-masked,
+    card before phone so card digits don't get phone-masked. Card masking
+    is checksum-gated: candidates failing Luhn (order ids, random digit
+    runs) are left for the later patterns or untouched."""
     out = _c(text)
     for pat, token in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, token)
+        if token == "<CC>":
+            cands = F.array_distinct(F.regexp_extract_all(out, F.lit(pat), 0))
+            valid = F.filter(cands, luhn_valid)
+            out = F.aggregate(
+                valid, out, lambda acc, c: F.replace(acc, c, F.lit(token))
+            )
+        else:
+            out = F.regexp_replace(out, pat, token)
     return out

@@ -129,9 +129,9 @@ def streaming_sessionize(
             last_ts, session_start = None, None
         out = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "turn_idx"])
-            for ts, turn_idx in zip(pdf["ts"], pdf["turn_idx"]):
-                tsec = int(pd.Timestamp(ts).timestamp())
+            pdf = pdf.sort_values(["tsec", "turn_idx"])
+            for ts, tsec, turn_idx in zip(pdf["ts"], pdf["tsec"], pdf["turn_idx"]):
+                tsec = int(tsec)
                 if last_ts is None or tsec - last_ts > gap_s:
                     session_start = tsec
                 last_ts = tsec
@@ -146,8 +146,15 @@ def streaming_sessionize(
         )
         yield pd.DataFrame(out, columns=["conv_id", "turn_idx", "ts", "session_id"])
 
+    # Epoch seconds are derived NATIVELY before the stateful function:
+    # timestamps cross into pandas converted to spark.sql.session.timeZone
+    # and tz-naive, so pd.Timestamp(ts).timestamp() would read them as UTC
+    # and shift session ids / DST-straddling gaps whenever the session tz is
+    # not UTC. ts.cast("long") is the true UTC epoch regardless of tz —
+    # matching the batch sessionize(id_mode='start_ts') _epoch_seconds.
     return (
-        transcripts_stream.withWatermark("ts", watermark)
+        transcripts_stream.withColumn("tsec", F.col("ts").cast("long"))
+        .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
             fn,
