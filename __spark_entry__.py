@@ -148,12 +148,23 @@ _NULL_CELL = "∅"  # ∅ — explicit NULL sentinel, same on both engines
 
 
 def _suite_spark(parts):
-    """parts: list of (tag, spark_fn) where spark_fn(spark) -> DataFrame."""
+    """parts: list of (tag, spark_fn) where spark_fn(spark) -> DataFrame.
+
+    Member columns must be int/string/boolean: float/double→string
+    formatting differs between Spark and DuckDB, so a float member would
+    hash-mismatch — round/format it to a string in the member query first.
+    """
 
     def run(spark: SparkSession) -> DataFrame:
         dfs = []
         for tag, fn in parts:
             df = fn(spark)
+            bad = [
+                f.name for f in df.schema.fields
+                if f.dataType.simpleString() in ("float", "double", "decimal")
+                or f.dataType.simpleString().startswith("decimal(")
+            ]
+            assert not bad, f"suite part {tag!r}: format float cols {bad} as strings"
             cells = [
                 F.coalesce(F.col(c).cast("string"), F.lit(_NULL_CELL))
                 for c in sorted(df.columns)
@@ -2811,6 +2822,78 @@ def _pii_oracle() -> str:
     )
 
 
+# text_extras_suite — round-4 additions: URL/domain frequency (the
+# C4/RefinedWeb URL-filtering primitive, textstats.domain_counts) and
+# paragraph-level exact dedup (the CCNet boilerplate primitive,
+# dedupe.paragraph_duplicates). The synthetic documents contain neither
+# URLs nor paragraph breaks, so deterministic fixture docs ride along with
+# the corpus (same pattern as text_langid); fixture doc_ids start at
+# 1_000_000 to stay clear of real ids at any sf.
+_URL_FIXTURE_ROWS = [
+    (1000001, "see https://www.Example.COM/a/b and http://data.example.com/x plus https://example.com"),
+    (1000002, "refs: http://archive.org/item/1 https://www.archive.org/item/2"),
+    (1000003, "no links here at all"),
+]
+_PARA_FIXTURE_ROWS = [
+    (1000010, "unique intro one\n\nshared boilerplate footer\n\nbody text alpha"),
+    (1000011, "unique intro two\n\nshared boilerplate footer"),
+    # same footer under different case/whitespace: normalization must fold it
+    (1000012, "Shared   Boilerplate FOOTER\n\n\nbody text beta"),
+]
+
+
+def _domain_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_URL_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return TS.domain_counts(docs)
+
+
+def _para_dedup_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_PARA_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return DD.paragraph_duplicates(docs)
+
+
+def _extras_docs_sql(fixture_rows) -> str:
+    return (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM {_sql_values(fixture_rows, 'doc_id, text')}"
+    )
+
+
+_DOMAIN_ORACLE = rf"""
+SELECT domain, count(*) AS n FROM (
+  SELECT lower(d) AS domain
+  FROM ({_extras_docs_sql(_URL_FIXTURE_ROWS)}) s,
+       unnest(regexp_extract_all(text, 'https?://(?:www\.)?([A-Za-z0-9.-]+)', 1)) AS u(d)
+) x GROUP BY domain
+"""
+
+_PARA_ORACLE = rf"""
+SELECT para_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total,
+       min(doc_id) AS canonical_doc
+FROM (
+  SELECT doc_id, sha256(norm) AS para_hash, norm FROM (
+    SELECT doc_id, trim(regexp_replace(lower(p), '\s+', ' ', 'g')) AS norm
+    FROM ({_extras_docs_sql(_PARA_FIXTURE_ROWS)}) s,
+         unnest(regexp_split_to_array(text, '\n{{2,}}')) AS u(p)
+  ) y
+) x WHERE length(norm) >= 1
+GROUP BY para_hash
+"""
+
+_EXTRAS_SUITE = [
+    ("domain_counts", _domain_spark),
+    ("paragraph_dedup", _para_dedup_spark),
+]
+
+_EXTRAS_SUITE_ORACLE = [
+    ("domain_counts", _DOMAIN_ORACLE, ["domain", "n"]),
+    ("paragraph_dedup", _PARA_ORACLE,
+     ["para_hash", "n_docs", "n_total", "canonical_doc"]),
+]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn triple extraction (the shipped extract operator)
     over the transcripts view derived from sf0.001 events."""
@@ -2937,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _pq(_pii_spark),
         "text_langid": _pq(_langid_spark),
         "text_quality": _pq(_quality_spark),
+        "text_extras_suite": _pq(_suite_spark(_EXTRAS_SUITE)),
         "sim_cosine_topk": _pq(_cosine_spark),
         "sim_lsh_ann": _pq(_sim_lsh_spark),
     }
@@ -2993,6 +3077,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": _pii_oracle(),
         "text_langid": _LANGID_ORACLE,
         "text_quality": _QUALITY_ORACLE,
+        "text_extras_suite": _suite_oracle(_EXTRAS_SUITE_ORACLE),
         "sim_cosine_topk": _COSINE_ORACLE,
         "sim_lsh_ann": _SIM_LSH_ORACLE,
     }

@@ -378,3 +378,37 @@ def ngram_contamination(
             (F.col("n_overlap") / F.col("probe_ngrams")).alias("contamination"),
         )
     )
+
+
+def paragraph_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_re: str = r"\n{2,}",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/RefinedWeb within-corpus
+    boilerplate primitive): split documents into paragraphs on ``sep_re``,
+    hash each normalized paragraph, and aggregate cross-document occurrence
+    counts. Returns (para_hash, n_docs, n_total, canonical_doc); rows with
+    n_docs > 1 are the shared paragraphs a curation pass would drop or keep
+    once.
+
+    Plan at scale: one explode inside the document scan, then one
+    hash-aggregate — map-side combine keeps the shuffle at distinct-
+    paragraph cardinality; no joins, no Python.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), sep_re)).alias("para"),
+    ).select("doc_id", normalized_text(F.col("para")).alias("para"))
+    paras = paras.filter(F.length("para") >= min_chars)
+    return (
+        paras.select("doc_id", F.sha2(F.col("para"), 256).alias("para_hash"))
+        .groupBy("para_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )

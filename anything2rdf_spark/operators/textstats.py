@@ -165,6 +165,33 @@ def corpus_top_ngrams(docs, text_col: str = "text", by: str = "source",
     )
 
 
+# URL/domain statistics — the C4/RefinedWeb URL-filtering primitive: corpus
+# curation starts from per-domain frequencies (blocklists, per-domain caps).
+# Same regex dialect in Java and RE2: no lookaround, no backrefs.
+URL_DOMAIN_RE = r"https?://(?:www\.)?([A-Za-z0-9.-]+)"
+
+
+def extract_domains(text) -> Column:
+    """Lowercased domains of every URL in the text (scheme and leading
+    ``www.`` stripped) — one native regexp_extract_all, no Python."""
+    return F.transform(
+        F.regexp_extract_all(_c(text), F.lit(URL_DOMAIN_RE), 1),
+        lambda d: F.lower(d),
+    )
+
+
+def domain_counts(docs, text_col: str = "text"):
+    """Per-domain URL frequency across the corpus. Plan at scale: extract
+    runs inside the document scan, explode, then one hash-aggregate —
+    map-side combine keeps the shuffle at distinct-domain cardinality
+    (millions), never URL-occurrence cardinality (trillions)."""
+    return (
+        docs.select(F.explode(extract_domains(F.col(text_col))).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # PII scrub patterns, applied in order (email before phone so the digits in
 # a mailbox name aren't half-masked first; card before phone so a 13-15
 # digit card isn't half-masked as a phone number). Same regex dialect subset

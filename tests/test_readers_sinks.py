@@ -176,6 +176,19 @@ def test_ttl_compaction_is_term_level(spark):
     assert 'x:s x:p "42"^^xsd:integer .' in lines
 
 
+def test_ttl_pn_local_must_not_end_with_dot(spark):
+    # A PN_LOCAL may CONTAIN '.' but not END with it: 'x:v1. .' would merge
+    # the local name's dot with the statement terminator and mis-parse.
+    rows = [
+        ("http://x/s", "http://x/p", "http://x/v1.", None, None, None, "c", 0),
+        ("http://x/s", "http://x/p", "http://x/v1.x", None, None, None, "c", 0),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    lines = {r["line"] for r in SK.ttl_lines(df, {"x": "http://x/"}).collect()}
+    assert "x:s x:p <http://x/v1.> ." in lines  # trailing dot: keep <full>
+    assert "x:s x:p x:v1.x ." in lines  # interior dot: compacts fine
+
+
 def test_split_schema_data(spark):
     df = spark.createDataFrame(
         [("http://x/schema#C", "p", None, None, None, None, None, None)] + TRIPLES_ROWS[:1],

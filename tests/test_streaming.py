@@ -68,6 +68,33 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert g == w
 
 
+def test_streaming_sessionize_non_utc_session_tz(spark, tmp_path):
+    """Session ids are keyed on the true UTC epoch of the session start: a
+    non-UTC spark.sql.session.timeZone must not shift them. Timestamps cross
+    into pandas tz-naive in the SESSION timezone, so deriving the epoch with
+    pd.Timestamp(...).timestamp() (which assumes UTC) diverged from the batch
+    operator whenever tz != UTC — the epoch now comes from a native
+    ts.cast('long') column computed before the stateful function."""
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.windows import sessionize
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ts = synth.transcripts(spark, n_convs=8, seed=36).filter(F.col("ts").isNotNull())
+        src = str(tmp_path / "stream_src_tz")
+        ts.coalesce(1).sortWithinPartitions("conv_id", "ts", "turn_idx").write.parquet(src)
+        got = SE.run_sessionize_stream_to_memory(spark, src, name="t_sess_tz")
+        want = sessionize(ts, gap_minutes=30, id_mode="start_ts")
+        g = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in got.collect()}
+        w = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in want.collect()}
+        assert len(g) == len(w)
+        assert g == w
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_streaming_sessionize_state_eviction_across_watermark(spark, tmp_path):
     """EventTimeTimeout eviction: file 1 advances the watermark far past
     conv cA's last_ts + gap (state evicted) AND carries a late-but-admissible

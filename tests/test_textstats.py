@@ -120,6 +120,58 @@ def test_redact_pii(spark):
         assert got[k] == want, (k, got[k], want)
 
 
+def test_lang_id_covers_all_stopword_languages(spark):
+    """Every language in the STOPWORDS table must classify: its own stopword
+    list joined into a sentence hits 10 for itself and at most a couple for
+    any other language (argmax wins strictly)."""
+    rows = [(lang, " ".join(words)) for lang, words in sorted(TS.STOPWORDS.items())]
+    df = spark.createDataFrame(rows, "want string, t string")
+    got = df.select("want", TS.lang_id("t").alias("l")).collect()
+    assert len(TS.STOPWORDS) >= 10
+    for r in got:
+        assert r["l"] == r["want"], (r["want"], r["l"])
+
+
+def test_luhn_valid(spark):
+    rows = [
+        ("4532015112830366", True),  # contiguous test PAN
+        ("4111 1111 1111 1111", True),  # spaced
+        ("5500-0000-0000-0004", True),  # dashed
+        ("1234567890123456", False),  # checksum fails
+        ("4532015112830367", False),  # one digit off the valid PAN
+    ]
+    df = spark.createDataFrame(rows, "t string, want boolean")
+    for r in df.select("want", TS.luhn_valid("t").alias("v")).collect():
+        assert r["v"] == r["want"], r
+
+
+def test_redact_pii_cards(spark):
+    rows = [
+        ("cc", "card 4532015112830366 now", "card <CC> now"),
+        ("ccsp", "pay 4111 1111 1111 1111 ok", "pay <CC> ok"),
+        ("ccdash", "use 5500-0000-0000-0004 here", "use <CC> here"),
+        # Luhn-invalid 16 digits: neither card (checksum) nor phone (>15)
+        ("ccbad", "order 1234567890123456 stays", "order 1234567890123456 stays"),
+        # Luhn-invalid 13-digit run falls through to the phone mask
+        ("ph13", "call 0040123456789 now", "call <PHONE> now"),
+    ]
+    df = spark.createDataFrame([(k, t) for k, t, _ in rows], "k string, t string")
+    got = {r["k"]: r["o"] for r in df.select("k", TS.redact_pii("t").alias("o")).collect()}
+    for k, _, want in rows:
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_domain_counts(spark):
+    rows = [
+        (1, "x https://www.A.com/z then http://b.org/p?q=1 y"),
+        (2, "again https://a.com end"),
+        (3, "no links"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["domain"]: r["n"] for r in TS.domain_counts(df).collect()}
+    assert got == {"a.com": 2, "b.org": 1}
+
+
 def test_ngram_ops_survive_short_texts(spark):
     """Regression: sequence(1, 0) is DESCENDING in Spark and slice(_, 0, n)
     throws — texts shorter than n must yield empty n-gram sets, not errors."""
