@@ -394,9 +394,13 @@ def paragraph_duplicates(
     n_docs > 1 are the shared paragraphs a curation pass would drop or keep
     once.
 
-    Plan at scale: one explode inside the document scan, then one
-    hash-aggregate — map-side combine keeps the shuffle at distinct-
-    paragraph cardinality; no joins, no Python.
+    Plan at scale: one explode inside the document scan, then the standard
+    two-stage exact-distinct aggregation Catalyst plans for
+    countDistinct — partial combine on (para_hash, doc_id), exchange,
+    rollup by para_hash. Both shuffles move already-aggregated
+    (paragraph, doc) rows, never raw occurrence rows; no joins, no Python.
+    (Use approx_count_distinct in the caller if one shuffle matters more
+    than exact n_docs.)
     """
     paras = df.select(
         F.col(id_col).alias("doc_id"),

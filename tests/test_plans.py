@@ -86,3 +86,34 @@ def test_rewrite_triples_join_strategy_policy(spark):
     p_sj = plan(CN.rewrite_triples(triples, mapping, broadcast_map=False))
     assert "BroadcastHashJoin" in p_bc
     assert "SortMergeJoin" in p_sj or "ShuffledHashJoin" in p_sj
+
+
+def _n_exchanges(plan_text: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan_text))
+
+
+def test_domain_counts_single_shuffle_with_partial_agg(spark, transcripts):
+    """URL-domain counting is scan → explode → partial HashAggregate →
+    ONE Exchange → final HashAggregate: map-side combine moves
+    distinct-domain rows, never URL occurrences, and the scan is pruned
+    to the text column."""
+    docs = transcripts.select(F.col("conv_id").alias("doc_id"), "text")
+    p = plan(TS.domain_counts(docs))
+    assert _n_exchanges(p) == 1
+    assert "partial_count" in p  # map-side combine below the exchange
+    assert "ReadSchema: struct<text:string>" in p
+
+
+def test_paragraph_duplicates_aggregated_shuffles_only(spark, transcripts):
+    """Paragraph dedup plans the standard two-stage exact-distinct shape:
+    exactly two exchanges, with a partial aggregate (map-side combine on
+    (para_hash, doc_id)) planned below the first — raw paragraph
+    occurrences never shuffle."""
+    from anything2rdf_spark.operators import dedupe as DD
+
+    docs = transcripts.select(F.col("conv_id").alias("doc_id"), "text")
+    p = plan(DD.paragraph_duplicates(docs))
+    assert _n_exchanges(p) == 2
+    assert "partial_count" in p and "partial_min" in p
