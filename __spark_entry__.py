@@ -1133,7 +1133,10 @@ def _langid_spark(spark: SparkSession) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
+def _langid_counts_case() -> tuple[str, str]:
+    """(per-language stopword-hit count exprs over a ``toks`` column,
+    argmax CASE over those counts) — shared by the langid and curation
+    oracles so both stay generated from TS.STOPWORDS."""
     langs = sorted(TS.STOPWORDS)
     counts = ",\n     ".join(
         "len(list_filter(toks, t -> t <> '' AND list_contains(["
@@ -1147,6 +1150,11 @@ def _langid_oracle() -> str:
         conds = " AND ".join(f"c_{lang} >= c_{later}" for later in langs[i + 1 :])
         case += f"            WHEN {conds} THEN '{lang}'\n"
     case += f"            ELSE '{langs[-1]}' END"
+    return counts, case
+
+
+def _langid_oracle() -> str:
+    counts, case = _langid_counts_case()
     fixture = _sql_values(_LANGID_FIXTURE_ROWS, "text")
     return rf"""
 SELECT lang_guess, count(*) AS n FROM (
@@ -2809,15 +2817,21 @@ def _cc_mask_sql(expr: str, pat: str, token: str) -> str:
     )
 
 
-def _pii_oracle() -> str:
-    out = "text"
+def _pii_chain_sql(expr: str) -> str:
+    """The full ordered PII mask chain over ``expr`` — shared by the PII
+    and curation oracles so both stay generated from TS.PII_PATTERNS."""
+    out = expr
     for pat, token in TS.PII_PATTERNS:
         if token == "<CC>":
             out = _cc_mask_sql(out, pat, token)
         else:
             out = f"regexp_replace({out}, {_lit(pat)}, {_lit(token)}, 'g')"
+    return out
+
+
+def _pii_oracle() -> str:
     return (
-        f"SELECT CAST(pid AS INT) AS pid, {out} AS redacted "
+        f"SELECT CAST(pid AS INT) AS pid, {_pii_chain_sql('text')} AS redacted "
         f"FROM {_sql_values(_PII_ROWS, 'pid, text')}"
     )
 
@@ -2892,6 +2906,83 @@ _EXTRAS_SUITE_ORACLE = [
     ("paragraph_dedup", _PARA_ORACLE,
      ["para_hash", "n_docs", "n_total", "canonical_doc"]),
 ]
+
+
+# text_curation_pipeline — curation.curate_corpus: the COMPOSED
+# training-data filter chain (exact dedup → lang filter → quality
+# threshold → PII scrub → token accounting) hash-checked end-to-end
+# against one DuckDB re-derivation of the whole composition — the
+# training-data analog of kg_pipeline_pred_counts. Fixture docs exercise
+# every drop/keep path: an exact duplicate pair, a German doc, a
+# below-threshold junk doc, and a PII-bearing survivor.
+_CURATION_FIXTURE_ROWS = [
+    (2000001, "the quick brown fox jumps over the lazy dog and runs to the old barn in a field"),
+    (2000002, "the quick brown fox jumps over the lazy dog and runs to the old barn in a field"),
+    (2000003, "der mann und die frau ist mit dem kind auf ein fest und das ist nicht schlecht"),
+    (2000004, "tiny junk"),
+    (2000005, "the report for the team is ready and the contact is bob@corp.example so pay with 4111 1111 1111 1111 for the order on the table"),
+]
+
+
+def _curation_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators import curation as CU
+
+    fixture = spark.createDataFrame(_CURATION_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return CU.curate_corpus(docs, langs=("en",), min_quality=0.95)
+
+
+def _curation_oracle() -> str:
+    counts, case = _langid_counts_case()
+    en = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
+    fixture = _sql_values(_CURATION_FIXTURE_ROWS, "doc_id, text")
+    return rf"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM {fixture}
+),
+ded AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (
+             PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ) AS canon
+    FROM src
+  ) d WHERE doc_id = canon
+),
+feat AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                         t -> t <> '' AND list_contains([{en}], t))) AS n_stop,
+         regexp_split_to_array(lower(text), '[^\p{{L}}]+') AS toks
+  FROM ded
+),
+cnt AS (
+  SELECT doc_id, text, n_chars, n_tokens, n_punct, n_stop,
+     {counts}
+  FROM feat
+),
+scored AS (
+  SELECT doc_id, text, n_tokens,
+         {case} AS lang_guess,
+         round(CAST(
+             0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.25 END)
+           + 0.2 * (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END) <= 0.2 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.05 THEN 1.0 ELSE 0.6 END)
+           + 0.2 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.5 END)
+          AS DOUBLE), 6) AS quality
+  FROM cnt
+)
+SELECT doc_id, lang_guess, quality, CAST(n_tokens AS INT) AS ws_tokens,
+       {_pii_chain_sql('text')} AS clean_text
+FROM scored
+WHERE lang_guess IN ('en') AND quality >= 0.95
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3021,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _pq(_langid_spark),
         "text_quality": _pq(_quality_spark),
         "text_extras_suite": _pq(_suite_spark(_EXTRAS_SUITE)),
+        "text_curation_pipeline": _pq(_curation_spark),
         "sim_cosine_topk": _pq(_cosine_spark),
         "sim_lsh_ann": _pq(_sim_lsh_spark),
     }
@@ -3078,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _LANGID_ORACLE,
         "text_quality": _QUALITY_ORACLE,
         "text_extras_suite": _suite_oracle(_EXTRAS_SUITE_ORACLE),
+        "text_curation_pipeline": _curation_oracle(),
         "sim_cosine_topk": _COSINE_ORACLE,
         "sim_lsh_ann": _SIM_LSH_ORACLE,
     }

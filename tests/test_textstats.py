@@ -186,3 +186,26 @@ def test_ngram_ops_survive_short_texts(spark):
     probes = spark.createDataFrame([("p", "a b")], "probe_id string, text string")
     docs = df.withColumnRenamed("source", "doc_id")
     assert DD.ngram_contamination(docs, probes, n=3).collect() == []
+
+
+def test_curate_corpus_paths(spark):
+    """Every drop/keep path of the composed curation chain: duplicate
+    removed (min id kept), non-English dropped, sub-threshold quality
+    dropped, PII masked on survivors."""
+    from anything2rdf_spark.operators.curation import curate_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the barn in a field"),
+        (2, "the quick brown fox jumps over the lazy dog and runs to the barn in a field"),
+        (3, "der mann und die frau ist mit dem kind auf ein fest und das ist gut"),
+        (4, "tiny junk"),
+        (5, "the contact for the team is bob@corp.example and the card is 4111 1111 1111 1111 for the order"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curate_corpus(docs, langs=("en",), min_quality=0.95).collect()}
+    assert set(out) == {1, 5}  # 2 dup-dropped, 3 lang-dropped, 4 quality-dropped
+    assert out[1]["lang_guess"] == "en" and out[1]["quality"] >= 0.95
+    assert "<EMAIL>" in out[5]["clean_text"] and "<CC>" in out[5]["clean_text"]
+    assert "bob@corp.example" not in out[5]["clean_text"]
+    assert out[5]["ws_tokens"] == len(rows[4][1].split())
