@@ -2786,6 +2786,10 @@ _PII_ROWS = [
     # 16 contiguous digits that FAIL Luhn: must stay unmasked (too long for
     # the phone pattern, checksum-rejected by the card pattern)
     (8, "order id 1234567890123456 is not a card"),
+    # a Luhn-INVALID 17-digit order id whose prefix is a valid card that
+    # also appears standalone: the \b-anchored replace must mask only the
+    # standalone occurrence, never corrupt the longer run
+    (9, "ids 45320151128303660 and card 4532015112830366 must differ"),
 ]
 
 
@@ -2795,9 +2799,13 @@ def _pii_spark(spark: SparkSession) -> DataFrame:
 
 
 def _cc_mask_sql(expr: str, pat: str, token: str) -> str:
-    """DuckDB mirror of the Luhn-gated card mask: extract candidates,
-    keep those whose Luhn checksum passes, left-fold replace() over them
-    with the text as the initial accumulator (list_prepend + list_reduce)."""
+    """DuckDB mirror of the Luhn-gated card mask: extract candidates, keep
+    those whose Luhn checksum passes, SORT (list_sort ≡ Spark array_sort on
+    ASCII — list_distinct alone is hash-ordered and would diverge), then
+    left-fold a \\b-anchored regexp_replace over them with the text as the
+    initial accumulator (list_prepend + list_reduce). The boundary anchors
+    stop a valid card that is a substring of a longer digit run from
+    corrupting it — matching the Spark side exactly."""
     dig = "regexp_replace(c, '[^0-9]', '', 'g')"
     d_at = f"CAST(substr({dig}, i, 1) AS INT)"
     term = (
@@ -2809,11 +2817,12 @@ def _cc_mask_sql(expr: str, pat: str, token: str) -> str:
         f"list_sum(list_transform(generate_series(1, length({dig})), i -> {term})) % 10 = 0"
     )
     valid = (
-        f"list_filter(list_distinct(regexp_extract_all({expr}, {_lit(pat)})), c -> {luhn_ok})"
+        f"list_sort(list_filter(list_distinct(regexp_extract_all({expr}, {_lit(pat)})), "
+        f"c -> {luhn_ok}))"
     )
     return (
         f"list_reduce(list_prepend({expr}, {valid}), "
-        f"(acc, c) -> replace(acc, c, {_lit(token)}))"
+        f"(acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', {_lit(token)}, 'g'))"
     )
 
 
@@ -2847,6 +2856,9 @@ _URL_FIXTURE_ROWS = [
     (1000001, "see https://www.Example.COM/a/b and http://data.example.com/x plus https://example.com"),
     (1000002, "refs: http://archive.org/item/1 https://www.archive.org/item/2"),
     (1000003, "no links here at all"),
+    # uppercase scheme must match; sentence punctuation after the URL must
+    # not ride into the domain key ('example.com', not 'example.com.')
+    (1000004, "caps HTTP://Example.com. end and HTTPS://WWW.ARCHIVE.ORG fin"),
 ]
 _PARA_FIXTURE_ROWS = [
     (1000010, "unique intro one\n\nshared boilerplate footer\n\nbody text alpha"),
@@ -2879,7 +2891,7 @@ _DOMAIN_ORACLE = rf"""
 SELECT domain, count(*) AS n FROM (
   SELECT lower(d) AS domain
   FROM ({_extras_docs_sql(_URL_FIXTURE_ROWS)}) s,
-       unnest(regexp_extract_all(text, 'https?://(?:www\.)?([A-Za-z0-9.-]+)', 1)) AS u(d)
+       unnest(regexp_extract_all(text, {_lit(TS.URL_DOMAIN_RE)}, 1)) AS u(d)
 ) x GROUP BY domain
 """
 

@@ -167,8 +167,11 @@ def corpus_top_ngrams(docs, text_col: str = "text", by: str = "source",
 
 # URL/domain statistics — the C4/RefinedWeb URL-filtering primitive: corpus
 # curation starts from per-domain frequencies (blocklists, per-domain caps).
-# Same regex dialect in Java and RE2: no lookaround, no backrefs.
-URL_DOMAIN_RE = r"https?://(?:www\.)?([A-Za-z0-9.-]+)"
+# Same regex dialect in Java and RE2: no lookaround, no backrefs; (?i) works
+# in both. The domain group is dot-SEPARATED labels (each label ends on an
+# alphanumeric/hyphen), so sentence punctuation after a URL — 'example.com.'
+# — never rides into the captured domain and splits the frequency key.
+URL_DOMAIN_RE = r"(?i)https?://(?:www\.)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
 
 
 def extract_domains(text) -> Column:
@@ -239,10 +242,22 @@ def redact_pii(text) -> Column:
     out = _c(text)
     for pat, token in PII_PATTERNS:
         if token == "<CC>":
+            # Candidates are the MAXIMAL matches of `pat`; each valid one is
+            # replaced as a \b-anchored regex (candidates are digits, spaces,
+            # and dashes only — no regex metachars to escape), so a valid
+            # card that is a SUBSTRING of a longer unbroken digit run (an
+            # order id) never corrupts it. The candidate list is sorted —
+            # Spark's array_sort ≡ DuckDB's list_sort on ASCII — so the fold
+            # order, and therefore the output on pathological overlaps, is
+            # identical in both engines.
             cands = F.array_distinct(F.regexp_extract_all(out, F.lit(pat), 0))
-            valid = F.filter(cands, luhn_valid)
+            valid = F.array_sort(F.filter(cands, luhn_valid))
             out = F.aggregate(
-                valid, out, lambda acc, c: F.replace(acc, c, F.lit(token))
+                valid,
+                out,
+                lambda acc, c: F.regexp_replace(
+                    acc, F.concat(F.lit(r"\b"), c, F.lit(r"\b")), F.lit(token)
+                ),
             )
         else:
             out = F.regexp_replace(out, pat, token)

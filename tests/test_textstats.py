@@ -154,6 +154,10 @@ def test_redact_pii_cards(spark):
         ("ccbad", "order 1234567890123456 stays", "order 1234567890123456 stays"),
         # Luhn-invalid 13-digit run falls through to the phone mask
         ("ph13", "call 0040123456789 now", "call <PHONE> now"),
+        # valid card as SUBSTRING of a longer Luhn-invalid digit run: the
+        # boundary-anchored replace masks only the standalone occurrence
+        ("super", "ids 45320151128303660 and card 4532015112830366 differ",
+         "ids 45320151128303660 and card <CC> differ"),
     ]
     df = spark.createDataFrame([(k, t) for k, t, _ in rows], "k string, t string")
     got = {r["k"]: r["o"] for r in df.select("k", TS.redact_pii("t").alias("o")).collect()}
@@ -166,10 +170,12 @@ def test_domain_counts(spark):
         (1, "x https://www.A.com/z then http://b.org/p?q=1 y"),
         (2, "again https://a.com end"),
         (3, "no links"),
+        # uppercase scheme matches; trailing sentence dot stays out of the key
+        (4, "caps HTTP://A.com. end"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["domain"]: r["n"] for r in TS.domain_counts(df).collect()}
-    assert got == {"a.com": 2, "b.org": 1}
+    assert got == {"a.com": 3, "b.org": 1}
 
 
 def test_ngram_ops_survive_short_texts(spark):
