@@ -2880,6 +2880,32 @@ def _para_dedup_spark(spark: SparkSession) -> DataFrame:
     return DD.paragraph_duplicates(docs)
 
 
+def _packing_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.curation import pack_documents
+
+    return pack_documents(spark.table("documents"), max_tokens=256, n_buckets=8)
+
+
+_PACKING_ORACLE = r"""
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor(prefix / 256.0) AS INT) AS pack_id
+FROM (
+  SELECT doc_id, n_tokens, bucket,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           CAST(doc_id % 8 AS INT) AS bucket
+    FROM documents
+  ) a
+) b
+"""
+
+
 def _extras_docs_sql(fixture_rows) -> str:
     return (
         "SELECT doc_id, text FROM documents UNION ALL "
@@ -2911,12 +2937,16 @@ GROUP BY para_hash
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
+    # curation.pack_documents — bucketed sequence packing (LLM training
+    # batch assembly); oracle recomputes the exclusive-prefix-sum boundary
+    ("doc_packing", _packing_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
     ("domain_counts", _DOMAIN_ORACLE, ["domain", "n"]),
     ("paragraph_dedup", _PARA_ORACLE,
      ["para_hash", "n_docs", "n_total", "canonical_doc"]),
+    ("doc_packing", _PACKING_ORACLE, ["doc_id", "n_tokens", "bucket", "pack_id"]),
 ]
 
 

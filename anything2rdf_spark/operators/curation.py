@@ -66,3 +66,47 @@ def curate_corpus(
         ws_token_count("text").alias("ws_tokens"),
         redact_pii("text").alias("clean_text"),
     )
+
+
+def pack_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing for training batches: assign each document to a
+    token-budget pack, keyed (bucket, pack_id). Returns one row per doc:
+    (doc_id, n_tokens, bucket, pack_id).
+
+    Packing is BUCKETED: documents hash (portably, ``doc_id % n_buckets``)
+    into buckets and are packed in deterministic doc_id order within each —
+    a single global packing order would serialize the cumsum window into
+    one task at 100 TB, while per-bucket windows scale with parallelism
+    (raise ``n_buckets`` with the cluster).
+
+    Boundary rule: pack_id = floor(exclusive-prefix-sum(n_tokens) /
+    max_tokens), i.e. a document belongs to the pack its tokens START in.
+    That makes the assignment a pure window expression (no sequential
+    state, engine-portable); the cost is a bounded overfill — a pack's
+    token sum is < max_tokens + its largest document, the standard
+    quasi-packing bound. Exact next-fit would need a sequential scan per
+    bucket (applyInPandas); use it only if strict caps matter more than
+    staying native.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+    ).withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.floor(prefix / max_tokens).cast("int").alias("pack_id"),
+    )

@@ -117,3 +117,15 @@ def test_paragraph_duplicates_aggregated_shuffles_only(spark, transcripts):
     p = plan(DD.paragraph_duplicates(docs))
     assert _n_exchanges(p) == 2
     assert "partial_count" in p and "partial_min" in p
+
+
+def test_curation_chain_single_shuffle(spark, transcripts):
+    """curate_corpus's only exchange is the dedup window; lang/quality/PII/
+    token steps are scan-local expressions on the surviving rows."""
+    from anything2rdf_spark.operators.curation import curate_corpus
+
+    docs = transcripts.select(
+        F.abs(F.xxhash64("conv_id", "turn_idx")).alias("doc_id"), "text"
+    )
+    p = plan(curate_corpus(docs, langs=("en",), min_quality=0.5))
+    assert _n_exchanges(p) == 1

@@ -215,3 +215,26 @@ def test_curate_corpus_paths(spark):
     assert "<EMAIL>" in out[5]["clean_text"] and "<CC>" in out[5]["clean_text"]
     assert "bob@corp.example" not in out[5]["clean_text"]
     assert out[5]["ws_tokens"] == len(rows[4][1].split())
+
+
+def test_pack_documents_budget_bound(spark):
+    """Quasi-packing invariant: within every (bucket, pack_id), token sum
+    minus the largest member stays under the budget (the documented
+    overfill bound), assignment is deterministic in doc_id order, and every
+    document lands in exactly one pack."""
+    from anything2rdf_spark.operators.curation import pack_documents
+
+    docs = spark.read.parquet(DOCS)
+    budget = 128
+    out = pack_documents(docs, max_tokens=budget, n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    packs = {}
+    for r in rows:
+        packs.setdefault((r["bucket"], r["pack_id"]), []).append(r["n_tokens"])
+    for key, toks in packs.items():
+        assert sum(toks) - max(toks) < budget, (key, sum(toks), max(toks))
+    # deterministic across partitioning
+    again = {(r["doc_id"]): (r["bucket"], r["pack_id"])
+             for r in pack_documents(docs.repartition(7), max_tokens=budget, n_buckets=4).collect()}
+    assert again == {r["doc_id"]: (r["bucket"], r["pack_id"]) for r in rows}
