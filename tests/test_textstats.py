@@ -238,3 +238,56 @@ def test_pack_documents_budget_bound(spark):
     again = {(r["doc_id"]): (r["bucket"], r["pack_id"])
              for r in pack_documents(docs.repartition(7), max_tokens=budget, n_buckets=4).collect()}
     assert again == {r["doc_id"]: (r["bucket"], r["pack_id"]) for r in rows}
+
+
+def test_luhn_valid_property_vs_python(spark):
+    """luhn_valid agrees with a pure-Python Luhn reference on 60 seeded
+    random candidates (one Spark job for all cases, not one per example)."""
+    import random
+
+    def py_luhn(s: str) -> bool:
+        ds = [int(c) for c in s if c.isdigit()]
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return len(ds) > 0 and total % 10 == 0
+
+    rng = random.Random(1234)
+    cases = []
+    for i in range(60):
+        n = rng.randint(12, 19)
+        digits = "".join(str(rng.randint(0, 9)) for _ in range(n))
+        if i % 3 == 0:  # sprinkle separators
+            digits = " ".join(digits[j:j + 4] for j in range(0, len(digits), 4))
+        cases.append((i, digits))
+    df = spark.createDataFrame(cases, "i int, t string")
+    got = {r["i"]: r["v"] for r in df.select("i", TS.luhn_valid("t").alias("v")).collect()}
+    for i, s in cases:
+        assert got[i] == py_luhn(s), (s, got[i])
+
+
+def test_cast_heavy_exprs_survive_ansi_mode(spark):
+    """The external harness may run with Spark 4's ANSI default on; the
+    cast-heavy expression families (Luhn digit casts, quality-score
+    divisions, PII folds) must not rely on lenient-mode null-on-error
+    casts. (A full 50-query ANSI sweep ran green offline; this pins the
+    riskiest expressions in CI.)"""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(1, "pay 4111 1111 1111 1111 or mail a@b.io now"),
+             (2, ""), (3, "   "), (4, "plain text here")],
+            "doc_id long, text string",
+        )
+        from anything2rdf_spark.operators.curation import curate_corpus, pack_documents
+
+        curate_corpus(df, langs=None, min_quality=0.0).collect()
+        pack_documents(df, max_tokens=8, n_buckets=2).collect()
+        df.select(TS.luhn_valid("text")).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
