@@ -2886,6 +2886,28 @@ def _packing_spark(spark: SparkSession) -> DataFrame:
     return pack_documents(spark.table("documents"), max_tokens=256, n_buckets=8)
 
 
+def _split_assign_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.curation import hash_split
+
+    return hash_split(
+        spark.table("documents").select("doc_id"), hash_mode="md5_60"
+    ).select("doc_id", "split")
+
+
+_SPLIT_ASSIGN_ORACLE = """
+SELECT doc_id,
+       CASE WHEN u < 900000 THEN 'train'
+            WHEN u < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS u
+  FROM documents
+) a
+"""
+
+
 _PACKING_ORACLE = r"""
 SELECT doc_id, n_tokens, bucket,
        CAST(floor(prefix / 256.0) AS INT) AS pack_id
@@ -2940,6 +2962,9 @@ _EXTRAS_SUITE = [
     # curation.pack_documents — bucketed sequence packing (LLM training
     # batch assembly); oracle recomputes the exclusive-prefix-sum boundary
     ("doc_packing", _packing_spark),
+    # curation.hash_split — deterministic train/val/test assignment by
+    # seeded portable hash; oracle recomputes the md5_60 boundary CASE
+    ("hash_split", _split_assign_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -2947,6 +2972,7 @@ _EXTRAS_SUITE_ORACLE = [
     ("paragraph_dedup", _PARA_ORACLE,
      ["para_hash", "n_docs", "n_total", "canonical_doc"]),
     ("doc_packing", _PACKING_ORACLE, ["doc_id", "n_tokens", "bucket", "pack_id"]),
+    ("hash_split", _SPLIT_ASSIGN_ORACLE, ["doc_id", "split"]),
 ]
 
 

@@ -110,3 +110,40 @@ def pack_documents(
         "bucket",
         F.floor(prefix / max_tokens).cast("int").alias("pack_id"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic dataset splitting (train/val/test) by seeded id hash.
+
+    Each row's split label is a pure function of (id, seed): stable across
+    runs, partitionings, and cluster sizes — unlike ``randomSplit``, whose
+    assignment depends on partition layout. The hash maps to a uniform
+    value in [0, 1e6) and the label is picked by cumulative weight
+    boundaries in the dict's insertion order. ``hash_mode='md5_60'`` is the
+    engine-portable variant (see dedupe.hash64) used by the oracle gate;
+    production stays on xxhash64.
+
+    Scan-local: one hash + one CASE per row, zero shuffles.
+    """
+    from .dedupe import hash64
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    u = F.pmod(
+        hash64(F.col(id_col).cast("string"), seed, hash_mode), F.lit(1_000_000)
+    )
+    items = list(weights.items())
+    chain = None
+    cum = 0.0
+    for name, wgt in items[:-1]:
+        cum += wgt / total
+        cond = u < int(round(cum * 1_000_000))
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    label = chain.otherwise(items[-1][0]) if chain is not None else F.lit(items[-1][0])
+    return docs.withColumn("split", label)

@@ -291,3 +291,28 @@ def test_cast_heavy_exprs_survive_ansi_mode(spark):
         df.select(TS.luhn_valid("text")).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """hash_split: every row gets exactly one label; assignment is a pure
+    function of (id, seed) — identical across partitionings; proportions
+    approach the weights; changing the seed reshuffles."""
+    from anything2rdf_spark.operators.curation import hash_split
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 2000 < 0.85
+    again = {r["doc_id"]: r["split"]
+             for r in hash_split(docs.repartition(13),
+                                 weights={"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == rows
+    reseeded = {r["doc_id"]: r["split"]
+                for r in hash_split(docs, weights={"train": 0.8, "val": 0.1, "test": 0.1},
+                                    seed=7).collect()}
+    assert reseeded != rows
