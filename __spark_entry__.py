@@ -2901,7 +2901,8 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM (
   SELECT doc_id,
-         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         ('0x' || substr(md5('42:' ||
+            coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15))::BIGINT
            % 1000000 AS u
   FROM documents
 ) a
@@ -2914,14 +2915,14 @@ SELECT doc_id, n_tokens, bucket,
 FROM (
   SELECT doc_id, n_tokens, bucket,
          coalesce(sum(n_tokens) OVER (
-           PARTITION BY bucket ORDER BY doc_id
+           PARTITION BY bucket ORDER BY doc_id, n_tokens
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS prefix
   FROM (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-           CAST(doc_id % 8 AS INT) AS bucket
+           CAST(((doc_id % 8) + 8) % 8 AS INT) AS bucket
     FROM documents
   ) a
 ) b

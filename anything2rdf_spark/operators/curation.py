@@ -79,8 +79,10 @@ def pack_documents(
     token-budget pack, keyed (bucket, pack_id). Returns one row per doc:
     (doc_id, n_tokens, bucket, pack_id).
 
-    Packing is BUCKETED: documents hash (portably, ``doc_id % n_buckets``)
-    into buckets and are packed in deterministic doc_id order within each —
+    Packing is BUCKETED: documents hash into buckets via the non-negative
+    modulo ``pmod(doc_id, n_buckets)`` (mirror with ``((id % n) + n) % n``
+    in engines whose ``%`` follows the dividend's sign) and are packed in
+    deterministic doc_id order within each —
     a single global packing order would serialize the cumsum window into
     one task at 100 TB, while per-bucket windows scale with parallelism
     (raise ``n_buckets`` with the cluster).
@@ -98,9 +100,13 @@ def pack_documents(
         F.col(id_col).alias("doc_id"),
         ws_token_count(F.col(text_col)).alias("n_tokens"),
     ).withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
+    # n_tokens as the tie-breaker makes the output MULTISET deterministic
+    # even with duplicate doc_ids: rows tying on (doc_id, n_tokens) are
+    # interchangeable (swapping them permutes the same prefix values), and
+    # later rows' prefixes are unaffected either way
     w = (
         W.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tokens")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
@@ -129,15 +135,22 @@ def hash_split(
     engine-portable variant (see dedupe.hash64) used by the oracle gate;
     production stays on xxhash64.
 
+    NULL ids hash a fixed sentinel string (identically in both hash modes),
+    so all null-id rows land deterministically in ONE split — filter or
+    repair them upstream if proportional treatment matters.
+
     Scan-local: one hash + one CASE per row, zero shuffles.
     """
     from .dedupe import hash64
 
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"negative split weight in {weights}")
     total = sum(weights.values())
-    u = F.pmod(
-        hash64(F.col(id_col).cast("string"), seed, hash_mode), F.lit(1_000_000)
-    )
+    if total <= 0:
+        raise ValueError(f"split weights must sum to > 0, got {weights}")
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    u = F.pmod(hash64(key, seed, hash_mode), F.lit(1_000_000))
     items = list(weights.items())
     chain = None
     cum = 0.0

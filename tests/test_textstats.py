@@ -316,3 +316,21 @@ def test_hash_split_deterministic_and_proportional(spark):
                 for r in hash_split(docs, weights={"train": 0.8, "val": 0.1, "test": 0.1},
                                     seed=7).collect()}
     assert reseeded != rows
+
+
+def test_hash_split_edge_cases(spark):
+    from anything2rdf_spark.operators.curation import hash_split, pack_documents
+
+    # NULL ids: no error, deterministic single split per mode
+    df = spark.createDataFrame([(1,), (None,), (None,)], "doc_id long")
+    out = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert set(out.values()) <= {"train", "val", "test"} and None in out
+    # invalid weights raise at plan time
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"a": 0.0, "b": 0.0})
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"a": 0.9, "b": -0.1})
+    # negative ids bucket non-negatively in pack_documents
+    neg = spark.createDataFrame([(-5, "a b c"), (-13, "d e")], "doc_id long, text string")
+    rows = pack_documents(neg, max_tokens=4, n_buckets=8).collect()
+    assert all(0 <= r["bucket"] < 8 for r in rows)
