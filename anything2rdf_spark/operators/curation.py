@@ -37,8 +37,14 @@ def curate_corpus(
     clean_text).
 
     * ``dedup``: keep only the min-id document per normalized content hash
-      (exact_duplicates' canonical rule, computed inline as one window so
-      no join is needed).
+      (exact_duplicates' canonical rule). Computed SKEW-SAFE: a window
+      partitioned by content hash would serialize a viral duplicate (one
+      text repeated billions of times) into a single task, and AQE cannot
+      split windows — so the min-id per hash is a partial-aggregated
+      groupBy (map-side combine collapses duplicates before the shuffle)
+      followed by a semi-join on the COMPOSITE key (hash, doc_id): every
+      join key matches at most one row, so even a hash repeated 10⁹ times
+      produces no hot join partition.
     * ``langs``: keep documents whose ``lang_id`` guess is in the set
       (``None`` keeps all languages).
     * ``min_quality``: threshold on ``quality_score`` rounded to 6 decimals
@@ -47,12 +53,9 @@ def curate_corpus(
     """
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if dedup:
-        w = W.partitionBy(F.sha2(normalized_text("text"), 256))
-        d = (
-            d.withColumn("_canon", F.min("doc_id").over(w))
-            .filter(F.col("doc_id") == F.col("_canon"))
-            .drop("_canon")
-        )
+        d = d.withColumn("_h", F.sha2(normalized_text("text"), 256))
+        canon = d.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+        d = d.join(canon, ["_h", "doc_id"], "left_semi").drop("_h")
     d = d.withColumn("lang_guess", lang_id("text"))
     if langs is not None:
         d = d.filter(F.col("lang_guess").isin(list(langs)))

@@ -120,7 +120,10 @@ def test_paragraph_duplicates_aggregated_shuffles_only(spark, transcripts):
 
 
 def test_curation_chain_single_shuffle(spark, transcripts):
-    """curate_corpus's only exchange is the dedup window; lang/quality/PII/
+    """curate_corpus's only shuffle exchange is the dedup min-per-hash
+    aggregation (map-side combined, so a viral duplicate collapses before
+    the shuffle); the canonical side then broadcasts for the composite-key
+    semi-join — the corpus itself never shuffles — and lang/quality/PII/
     token steps are scan-local expressions on the surviving rows."""
     from anything2rdf_spark.operators.curation import curate_corpus
 
