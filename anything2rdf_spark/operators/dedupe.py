@@ -45,13 +45,23 @@ def hash64(col, seed: int = 0, mode: str = "xxhash64"):
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: returns (doc_id, content_hash,
-    canonical_id, is_dup). One shuffle (the window on content_hash)."""
-    h = F.sha2(normalized_text(text_col), 256)
-    w = W.partitionBy("content_hash")
-    return (
-        df.select(F.col(id_col), h.alias("content_hash"))
-        .withColumn("canonical_id", F.min(id_col).over(w))
-        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+    canonical_id, is_dup).
+
+    Computed as a partial-aggregated min-per-hash groupBy + equi-join on
+    the hash rather than a window over content_hash: a window serializes a
+    viral duplicate (one text repeated 10⁹ times) into a single task and
+    AQE cannot split windows, while the groupBy collapses duplicates
+    map-side before its shuffle and the join is AQE-skew-splittable (and
+    broadcasts outright when the distinct-hash side is small)."""
+    hashed = df.select(
+        F.col(id_col), F.sha2(normalized_text(text_col), 256).alias("content_hash")
+    )
+    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    return hashed.join(canon, "content_hash").select(
+        id_col,
+        "content_hash",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
     )
 
 
