@@ -255,6 +255,8 @@ _TURN_BRANCHES_SQL = (
             _tsel(f"'{NS}role_' || role", _lit(RDF_TYPE), obj_iri=_lit(S + "Role")),
             _tsel(_T_IRI, _lit(S + "usedTool"), obj_iri=f"'{NS}tool_' || tool",
                   where="tool IS NOT NULL AND trim(tool) <> ''"),
+            _tsel(f"'{NS}tool_' || tool", _lit(RDF_TYPE), obj_iri=_lit(S + "Tool"),
+                  where="tool IS NOT NULL AND trim(tool) <> ''"),
             _tsel(_T_IRI, _lit(S + "atTime"),
                   obj_lit="strftime(ts, '%Y-%m-%dT%H:%M:%S')",
                   obj_dtype=_lit(XSD_DATETIME), where="ts IS NOT NULL"),

@@ -333,6 +333,11 @@ def mention_scan_udf(surfaces, engine: str = "auto"):
 
     def _build():
         surfs = sorted(set(bc.value), key=len, reverse=True) if bc is not None else local
+        if not surfs:
+            # an empty dictionary must scan to nothing: the alternation
+            # regex would otherwise degenerate to \b()\b, whose empty-string
+            # matches KeyError on canon lookup
+            return lambda texts: texts.fillna("").map(lambda _t: [])
         eng = engine
         if eng == "auto":
             eng = "aho" if len(surfs) > AC_THRESHOLD else "regex"

@@ -118,10 +118,22 @@ def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces=No
         _t(sp, P_ROLE, obj_iri=role_iri),
         _t(role_iri, RDF_TYPE, obj_iri=F.lit(C_ROLE)),
         _t(t, P_USED_TOOL, obj_iri=tool_iri, guard=F.col("tool").isNotNull() & (F.trim(F.col("tool")) != "")),
+        # minted tool entities get typed like every other minted entity
+        # (Turn/Conversation/Speaker/Role all do) — same ANE guard
+        _t(tool_iri, RDF_TYPE, obj_iri=F.lit(C_TOOL), guard=F.col("tool").isNotNull() & (F.trim(F.col("tool")) != "")),
         _t(
             t,
             P_AT_TIME,
-            obj_lit=F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            # rendered from the true UTC instant, NOT the session timezone:
+            # date_format alone formats in spark.sql.session.timeZone, so
+            # identical data would emit different (zone-suffix-free)
+            # xsd:dateTime literals across deployments — the same hazard
+            # windows._epoch_seconds guards against. Under a UTC session
+            # (all tests/oracles) this is a no-op.
+            obj_lit=F.date_format(
+                F.to_utc_timestamp(F.col("ts"), F.expr("current_timezone()")),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            ),
             dtype=XSD_DATETIME,
             guard=F.col("ts").isNotNull(),
         ),

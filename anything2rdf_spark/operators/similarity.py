@@ -162,25 +162,29 @@ def lsh_topk(
         if signature == "grid"
         else lsh_signature(vec_col, hyperplanes(dim, n_planes, seed))
     )
+    # norms are hoisted per ROW before the join (as cosine_topk does): a
+    # corpus row matched by m probes would otherwise re-run the O(dim) norm
+    # aggregate m times per side
     csig = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_cvec"), sig_expr.alias("_b")
+        F.col(id_col), F.col(vec_col).alias("_cvec"), sig_expr.alias("_b"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     qsig = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), sig_expr.alias("_sig")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), sig_expr.alias("_sig"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     if multi_probe == 1:
         probes = F.array(
             F.col("_sig"), *[F.col("_sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
         )
-        qsig = qsig.select(query_id_col, "_qvec", F.explode(probes).alias("_b"))
+        qsig = qsig.select(query_id_col, "_qvec", "_qn", F.explode(probes).alias("_b"))
     else:
         qsig = qsig.withColumnRenamed("_sig", "_b")
     scored = csig.join(F.broadcast(qsig), "_b").select(
         query_id_col,
         id_col,
         (
-            _dot(F.col("_cvec"), F.col("_qvec"))
-            / (_norm(F.col("_cvec")) * _norm(F.col("_qvec")))
+            _dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cn") * F.col("_qn"))
         ).alias("cosine_sim"),
     )
     key = F.col("cosine_sim") if order_round is None else F.round("cosine_sim", order_round)
@@ -242,9 +246,14 @@ def embedding_neardup_pairs(
         else lsh_signature(vec_col, hyperplanes(dim, n_planes, seed))
     )
     sig = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig_expr.alias("b")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig_expr.alias("b"),
+        _norm(F.col(vec_col)).alias("n"),
     )
     if max_bucket is not None:
+        # one materialization feeds the bucket count, the anti-join, and
+        # both sides of the self-join — without it the per-row signature
+        # scan recomputes up to 4x (count + log + left + right)
+        sig = sig.persist()
         if log_dropped:
             import logging
 
@@ -264,7 +273,7 @@ def embedding_neardup_pairs(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
             (
-                _dot(F.col("l.v"), F.col("r.v")) / (_norm(F.col("l.v")) * _norm(F.col("r.v")))
+                _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
@@ -276,9 +285,15 @@ def embedding_neardup_pairs(
 
 def quantize_vec(vec_col, scale: int = 1000):
     """array<double> → array<long> via ``round(x*scale)`` — the integer-exact
-    vector used by the engine-portable IVF/LSH paths. ``x*scale`` never lands
-    exactly on .5 (scale=1000 has non-power-of-two factors), so any engine's
-    round() agrees."""
+    vector used by the engine-portable IVF/LSH paths.
+
+    Tie-breaking caveat: ``x*scale`` CAN land exactly on .5 in IEEE doubles
+    (``0.0005*1000 == 0.5`` exactly), and engines disagree on halves —
+    Spark's round() and DuckDB's both round half away from zero (which is
+    why the oracle gates are bit-exact), but a banker's-rounding engine
+    (numpy, Python round, Postgres float8) would quantize such components
+    one off. Porting the oracle to one of those needs an explicit
+    half-away-from-zero shim, e.g. ``sign(x)*floor(abs(x)*scale + 0.5)``."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.transform(v, lambda x: F.round(x * scale, 0).cast("long"))
 
@@ -349,6 +364,11 @@ def ivf_train(
         seed_rows = (
             df.orderBy(id_col).limit(nlist).select(quantize_vec(vec_col, quantize_scale)).collect()
         )
+        # fewer rows than nlist: clamp — the indexing below iterates
+        # range(nlist) and would IndexError past the seeded prefix
+        nlist = min(nlist, len(seed_rows))
+        if nlist == 0:
+            raise ValueError("ivf_train: empty corpus")
         icentroids: list[list[int]] = [[int(x) for x in r[0]] for r in seed_rows]
         for _ in range(iters):
             assigned = df.select(
@@ -376,6 +396,9 @@ def ivf_train(
         return [x / n for x in v]
 
     seed_rows = df.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    nlist = min(nlist, len(seed_rows))
+    if nlist == 0:
+        raise ValueError("ivf_train: empty corpus")
     centroids = [_unit([float(x) for x in r[0]]) for r in seed_rows]
     for _ in range(iters):
         assigned = df.select(
@@ -431,24 +454,27 @@ def ivf_topk(
             return _centroid_scores_int(col, centroids, quantize_scale)
         return _centroid_scores(col, centroids)
 
+    # norms hoisted per row before the join (a corpus row in a probed list
+    # is re-scored once per probing query otherwise)
     csig = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("_cvec"),
         F.array_min(scores(vec_col))["j"].alias("_cl"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     probes = F.transform(
         F.slice(F.array_sort(scores(vec_col)), 1, nprobe),
         lambda s: s["j"],
     )
     qsig = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), F.explode(probes).alias("_cl")
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qn"), F.explode(probes).alias("_cl"),
     )
     scored = csig.join(F.broadcast(qsig), "_cl").select(
         query_id_col,
         id_col,
         (
-            _dot(F.col("_cvec"), F.col("_qvec"))
-            / (_norm(F.col("_cvec")) * _norm(F.col("_qvec")))
+            _dot(F.col("_cvec"), F.col("_qvec")) / (F.col("_cn") * F.col("_qn"))
         ).alias("cosine_sim"),
     )
     key = F.col("cosine_sim") if order_round is None else F.round("cosine_sim", order_round)

@@ -88,6 +88,42 @@ def next_turn_triples(df: DataFrame, ns: str | None = None) -> DataFrame:
     )
 
 
+def next_turn_triples_join(df: DataFrame, ns: str | None = None) -> DataFrame:
+    """Skew-safe W2: successor edges via a self-join on
+    ``(conv_id, turn_rank + 1)`` instead of a per-conversation ``lead()``
+    window. A hot conversation (10%+ of all turns, the north_rule case)
+    serializes a window into ONE task and AQE cannot split windows; the
+    composite join key is unique on both sides, so the equi-join has no hot
+    partition at any conversation size. Output is identical to
+    ``next_turn_triples`` (test-enforced). Input should carry ``turn_rank``
+    from ``ordered_turns_skew_safe``; it is computed if absent."""
+    from .. import NS
+
+    ns = ns or NS
+    if "turn_rank" not in df.columns:
+        df = ordered_turns_skew_safe(df)
+    cur = df.select("conv_id", "turn_idx", "turn_rank")
+    nxt = df.select(
+        "conv_id",
+        F.col("turn_idx").alias("next_idx"),
+        (F.col("turn_rank") - 1).alias("turn_rank"),
+    )
+    return (
+        cur.join(nxt, ["conv_id", "turn_rank"])
+        .select(
+            iri.turn_iri(ns=ns).alias("subj"),
+            F.lit(P_NEXT_TURN).alias("pred"),
+            iri.turn_iri("conv_id", "next_idx", ns=ns).alias("obj_iri"),
+            F.lit(None).cast("string").alias("obj_lit"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_dtype"),
+            "conv_id",
+            "turn_idx",
+        )
+        .select(*TRIPLE_COLS)
+    )
+
+
 def path_prefix_hierarchy(df: DataFrame, col: str, sep: str = "_") -> DataFrame:
     """W3: path-prefix hierarchy — ``a_b_c`` → broader chain a ← a_b ← a_b_c
     (procopecsv2rdf.scala:172-223 foldLeft). Returns (narrower, broader)

@@ -16,6 +16,7 @@ from ..operators.extract import (
     C_CONVERSATION,
     C_ROLE,
     C_SPEAKER,
+    C_TOOL,
     C_TURN,
     P_AT_TIME,
     P_FULLTEXT,
@@ -82,6 +83,7 @@ def convert_turn(
         out.add((t, P_WORDCOUNT, None, str(wordcount(text)), None, XSD_INTEGER))
     if tool is not None and tool.strip() != "":
         out.add((t, P_USED_TOOL, mint("tool", tool), None, None, None))
+        out.add((mint("tool", tool), RDF_TYPE, C_TOOL, None, None, None))
     if ts is not None:
         out.add((t, P_AT_TIME, None, ts.strftime("%Y-%m-%dT%H:%M:%S"), None, XSD_DATETIME))
     if surfaces:

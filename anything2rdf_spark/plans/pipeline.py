@@ -98,6 +98,11 @@ class Pipeline:
         run_id = new_run_id()
         metrics: dict = {"run_id": run_id}
         cat = self.catalog
+        # Run-config that changes stage OUTPUT must be part of the skip key:
+        # resuming with a different mention engine or namespace against the
+        # same user fingerprint would otherwise silently serve the other
+        # configuration's checkpoints.
+        fingerprint = f"{fingerprint}|eng={mention_engine}|ns={self.ns}"
 
         # ---- stage 1: normalize -------------------------------------------
         def normalize():
@@ -113,38 +118,44 @@ class Pipeline:
                     ["transcripts_norm", "transcripts_quarantine"], metrics)
 
         # ---- stage 2: extract ---------------------------------------------
-        if mention_engine == "join":
-            # dictionary too big to broadcast (10⁷+ surfaces): the surface
-            # relation stays a DataFrame end to end — token-index join +
-            # span verify (extract_mentions_join); nothing on the driver
-            surfaces_df = (
-                dictionary.select(F.col("pref_label").alias("surface"))
-                .unionByName(
-                    dictionary.select(F.explode("alt_labels").alias("surface"))
-                )
-            )
-            surfaces_bc = None
-        else:
-            surfaces = dictionary_surfaces
-            if surfaces is None:
-                surfaces = [
-                    r["pref_label"] for r in dictionary.select("pref_label").collect()
-                ] + [
-                    r["a"]
-                    for r in dictionary.select(F.explode("alt_labels").alias("a")).collect()
-                ]
-            # one broadcast per run: the surface list ships once per executor
-            # (not once per task via closure); the scanner (regex below
-            # AC_THRESHOLD surfaces, Aho-Corasick automaton above) is built
-            # once per executor process from it
-            surfaces_bc = self.spark.sparkContext.broadcast(list(surfaces))
-
         def extract():
+            # Surface materialization happens INSIDE the stage closure so a
+            # fully-resumed run (stage skipped) never pays the dictionary
+            # collect/broadcast.
+            if mention_engine == "join":
+                # dictionary too big to broadcast (10⁷+ surfaces): the
+                # surface relation stays a DataFrame end to end —
+                # token-index join + span verify (extract_mentions_join);
+                # nothing on the driver
+                surfaces_df = (
+                    dictionary.select(F.col("pref_label").alias("surface"))
+                    .unionByName(
+                        dictionary.select(F.explode("alt_labels").alias("surface"))
+                    )
+                )
+                surfaces_bc = None
+            else:
+                surfaces = dictionary_surfaces
+                if surfaces is None:
+                    surfaces = [
+                        r["pref_label"] for r in dictionary.select("pref_label").collect()
+                    ] + [
+                        r["a"]
+                        for r in dictionary.select(F.explode("alt_labels").alias("a")).collect()
+                    ]
+                # one broadcast per run: the surface list ships once per
+                # executor (not once per task via closure); the scanner
+                # (regex below AC_THRESHOLD surfaces, Aho-Corasick automaton
+                # above) is built once per executor process from it
+                surfaces_bc = self.spark.sparkContext.broadcast(list(surfaces))
             norm = cat.read("transcripts_norm")
             triples = EX.extract_triples(norm, ns=self.ns)
             if code_tables is not None:
                 triples = triples.unionByName(EX.code_table_triples(code_tables, ns=self.ns))
-            triples = triples.unionByName(WD.next_turn_triples(norm, ns=self.ns))
+            # skew-safe successor edges: transcripts_norm carries turn_rank,
+            # so this is a unique-composite-key self-join, never a
+            # per-conversation lead() window (hot conv = one window task)
+            triples = triples.unionByName(WD.next_turn_triples_join(norm, ns=self.ns))
             mentions = (
                 EX.extract_mentions_join(norm, surfaces_df)
                 if mention_engine == "join"

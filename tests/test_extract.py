@@ -104,3 +104,33 @@ def test_transcripts_generator_contract(spark):
     )
     bad = agg.filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)).count()
     assert bad == 0
+
+
+def test_empty_surface_dictionary_scans_to_nothing(spark):
+    """An empty dictionary must produce zero mentions, not a degenerate
+    \\b()\\b alternation whose empty matches KeyError inside the UDF —
+    both as a plain list and as a broadcast (the pipeline's path)."""
+    from anything2rdf_spark.sources import synth
+
+    ts = synth.transcripts(spark, n_convs=3, seed=52)
+    assert EX.extract_mentions(ts, []).count() == 0
+    bc = spark.sparkContext.broadcast([])
+    assert EX.extract_mentions(ts, bc).count() == 0
+
+
+def test_attime_literal_is_utc_under_any_session_tz(spark):
+    """atTime literals render the UTC instant: a non-UTC session timezone
+    must not shift the zone-suffix-free xsd:dateTime output."""
+    from anything2rdf_spark.sources import synth
+
+    ts = synth.transcripts(spark, n_convs=3, seed=53)
+    want = {(r["subj"], r["obj_lit"]) for r in EX.extract_triples(ts).collect()
+            if r["pred"].endswith("atTime")}
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = {(r["subj"], r["obj_lit"]) for r in EX.extract_triples(ts).collect()
+               if r["pred"].endswith("atTime")}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert want and got == want

@@ -94,3 +94,16 @@ def test_skew_safe_conv_stats_matches_plain(spark):
     )
     salted = WD.skew_safe_conv_stats(ts, bucket_size=7)
     assert plain.exceptAll(salted).count() == 0 and salted.exceptAll(plain).count() == 0
+
+
+def test_next_turn_triples_join_equals_window(spark):
+    """Skew-safe successor-edge join variant must equal the lead() window
+    operator exactly, including on a hot conversation."""
+    from anything2rdf_spark.operators import windows as WD
+    from anything2rdf_spark.sources import synth
+
+    ts = synth.transcripts(spark, n_convs=12, seed=51)
+    a = WD.next_turn_triples(ts)
+    b = WD.next_turn_triples_join(ts)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
