@@ -788,7 +788,7 @@ m AS (
 ),
 d(entity_id, norm) AS (VALUES ('1', 'error'), ('2', 'purchase'))
 SELECT m.conv_id, m.turn_idx, m.surface, m.norm_surface,
-       coalesce('{NS}entity_' || d.entity_id, '{NS}entity_new_' || m.norm_surface) AS entity_iri,
+       coalesce('{NS}entity_' || d.entity_id, '{NS}entity-new_' || m.norm_surface) AS entity_iri,
        d.entity_id IS NOT NULL AS matched
 FROM m LEFT JOIN d ON m.norm_surface = d.norm
 """
@@ -1686,11 +1686,19 @@ SELECT CAST(cid AS INT) AS cid,
       '''''''?', '', 'g') AS stripped,
   CASE WHEN m = '' THEN y WHEN d = '' THEN y || '-' || m
        ELSE y || '-' || m || '-' || d END AS date_str,
-  CASE WHEN len(ep) = 3 THEN ep[3] || '-' || {mn('ep[2]')} || '-' || eday
-       WHEN len(ep) = 2 THEN ep[2] || '-' || {mn('ep[1]')} || '-01'
+  CASE WHEN len(ep) = 3 THEN
+         CASE WHEN {mn('ep[2]')} = '' THEN NULL
+              ELSE ep[3] || '-' || {mn('ep[2]')} || '-' || lpad(eday, 2, '0') END
+       WHEN len(ep) = 2 THEN
+         CASE WHEN {mn('ep[1]')} = '' THEN NULL
+              ELSE ep[2] || '-' || {mn('ep[1]')} || '-01' END
        ELSE ep[1] || '-01-01' END AS eng_begin,
-  CASE WHEN len(ep) = 3 THEN ep[3] || '-' || {mn('ep[2]')} || '-' || eday
-       WHEN len(ep) = 2 THEN ep[2] || '-' || {mn('ep[1]')} || '-' || {mld('ep[1]')}
+  CASE WHEN len(ep) = 3 THEN
+         CASE WHEN {mn('ep[2]')} = '' THEN NULL
+              ELSE ep[3] || '-' || {mn('ep[2]')} || '-' || lpad(eday, 2, '0') END
+       WHEN len(ep) = 2 THEN
+         CASE WHEN {mn('ep[1]')} = '' THEN NULL
+              ELSE ep[2] || '-' || {mn('ep[1]')} || '-' || {mld('ep[1]')} END
        ELSE ep[1] || '-12-31' END AS eng_end,
   CASE WHEN partial LIKE '%-00-00' THEN substr(partial,1,4) || '-01-01'
        WHEN partial LIKE '%-00' THEN substr(partial,1,4) || '-' || substr(partial,6,2) || '-01'
@@ -1806,7 +1814,7 @@ idx AS (SELECT * FROM {_sql_values([('error', '1'), ('purchase', '2'), ('failure
 tment AS (
   SELECT '{NS}turn_' || m.conv_id || '_' || CAST(m.turn_idx AS VARCHAR) AS subj,
          '{S}mentions' AS pred,
-         coalesce('{NS}entity_' || idx.entity_id, '{NS}entity_new_' || m.norm_surface) AS obj_iri,
+         coalesce('{NS}entity_' || idx.entity_id, '{NS}entity-new_' || m.norm_surface) AS obj_iri,
          {_NULL_V} AS obj_lit, {_NULL_V} AS obj_lang, {_NULL_V} AS obj_dtype
   FROM m LEFT JOIN idx ON m.norm_surface = idx.norm
 ),

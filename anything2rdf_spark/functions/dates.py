@@ -163,18 +163,29 @@ def certainty_bucket(probability: Column | str) -> Column:
 def english_date(s: Column | str, earliest: bool = True) -> Column:
     """'4th May 1771' / 'May 1771' / '1771' → ISO date string
     (FBTEETSV2RDF.scala:257-264): ordinal suffix stripped; 2-part falls back
-    to first/last day of month; 1-part to Jan 1 / Dec 31."""
+    to first/last day of month; 1-part to Jan 1 / Dec 31.
+
+    Output is real ISO-8601: single-digit days are zero-padded (an unpadded
+    '1771-05-4' fails xsd:date and sorts AFTER '1771-05-31' as a string),
+    and an unrecognized month name yields NULL rather than a malformed
+    '1771--04' fragment."""
     c = _c(s)
     parts = F.split(c, " ")
     n = F.size(parts)
-    day = F.regexp_replace(parts[0], "(th|st|rd|nd)", "")
-    three = F.concat_ws("-", parts[2], month_number(parts[1]), day)
-    two = F.concat_ws(
-        "-",
-        parts[1],
-        month_number(parts[0]),
-        F.lit("01") if earliest else month_last_day(parts[0]),
-    )
+    day = _pad2(F.regexp_replace(parts[0], "(th|st|rd|nd)", ""))
+    m3 = month_number(parts[1])
+    m2 = month_number(parts[0])
+    null_s = F.lit(None).cast("string")
+    three = F.when(m3 != "", F.concat_ws("-", parts[2], m3, day)).otherwise(null_s)
+    two = F.when(
+        m2 != "",
+        F.concat_ws(
+            "-",
+            parts[1],
+            m2,
+            F.lit("01") if earliest else month_last_day(parts[0]),
+        ),
+    ).otherwise(null_s)
     one = F.concat(parts[0], F.lit("-01-01" if earliest else "-12-31"))
     return F.when(n == 3, three).when(n == 2, two).otherwise(one)
 
@@ -182,7 +193,8 @@ def english_date(s: Column | str, earliest: bool = True) -> Column:
 def repair_partial_date(d: Column | str) -> Column:
     """'1771-00-00' → year span; '1771-03-00' → month-start..year-end
     (faithful to the reference's quirk of ``yyyy-12-<last day of given
-    month>``, procopecsv2rdf.scala:100-105); 'd/m/yyyy' → exact day.
+    month>``, procopecsv2rdf.scala:100-105); 'm/d/yyyy' (US order: the
+    FIRST slash field is the month) → exact day.
     Returns struct<begin:string, end:string> of ISO dates; null struct fields
     when unparseable (reference throws, procopecsv2rdf.scala:112 — we
     quarantine instead)."""

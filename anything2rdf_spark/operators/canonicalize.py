@@ -154,12 +154,16 @@ def degree_constrained_merge(
     exactly 1 AND (names equal when given) AND NOT partnership. Returns the
     edge rows with a boolean ``merge`` column — canonicalization decided via
     two group-degree aggregations (A1) + joins, no row-at-a-time logic."""
-    ldeg = edges.groupBy(left_key).agg(F.count("*").alias("_ldeg"))
-    rdeg = edges.groupBy(right_key).agg(F.count("*").alias("_rdeg"))
+    # degree = DISTINCT partner count: the same edge row appearing twice
+    # must not make a genuinely 1:1 pair look 1:2 and block its merge
+    ldeg = edges.groupBy(left_key).agg(F.countDistinct(right_key).alias("_ldeg"))
+    rdeg = edges.groupBy(right_key).agg(F.countDistinct(left_key).alias("_rdeg"))
     out = edges.join(ldeg, left_key).join(rdeg, right_key)
     cond = (F.col("_ldeg") == 1) & (F.col("_rdeg") == 1)
     if left_name and right_name:
-        cond = cond & (F.col(left_name) == F.col(right_name))
+        # null-safe: a null name means "names do not match", never a null
+        # merge flag (a null would leak through ~merge filters downstream)
+        cond = cond & F.coalesce(F.col(left_name) == F.col(right_name), F.lit(False))
     if partnership_col:
         cond = cond & (~F.coalesce(F.col(partnership_col), F.lit(False)))
     return out.withColumn("merge", cond).drop("_ldeg", "_rdeg")

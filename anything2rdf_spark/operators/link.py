@@ -44,7 +44,7 @@ def surface_index(dictionary: DataFrame) -> DataFrame:
         TX.norm_surface("pref_label").alias("norm_surface"),
         F.col("entity_id"),
         F.lit(True).alias("is_pref"),
-    )
+    ).filter(F.col("norm_surface").isNotNull() & (F.col("norm_surface") != ""))
     alt = dictionary.select(
         F.explode_outer("alt_labels").alias("alt"), "entity_id"
     ).select(
@@ -78,8 +78,12 @@ def link_mentions(
 
     Returns (conv_id, turn_idx, surface, norm_surface, entity_iri, matched).
     Matched mentions link to ``ns+entity_<id>``; unmatched mint
-    ``ns+entity_new_<norm_surface>`` (deterministic natural-key IRI — the
+    ``ns+entity-new_<norm_surface>`` (deterministic natural-key IRI — the
     get-or-create path without row-level mutation, SURVEY §7.2 hard-part 5).
+    The minted kind is ``entity-new`` (hyphen): ``entity_new_<x>`` would be
+    IDENTICAL to a real dictionary IRI whose entity_id starts with ``new_``
+    (url_encode leaves '_' unescaped), silently merging two distinct nodes;
+    'entity-' vs 'entity_' can never collide.
     """
     idx = surface_index(dictionary)
     if broadcast_dict:
@@ -92,7 +96,7 @@ def link_mentions(
         "norm_surface",
         F.coalesce(
             iri.entity_iri("entity_id", ns=ns),
-            iri.mint("entity_new", "norm_surface", ns=ns),
+            iri.mint("entity-new", "norm_surface", ns=ns),
         ).alias("entity_iri"),
         F.col("entity_id").isNotNull().alias("matched"),
     )

@@ -63,7 +63,11 @@ def _render_lines(triples: DataFrame, term) -> DataFrame:
     )
     return triples.select(
         F.concat(term("subj"), F.lit(" "), term("pred"), F.lit(" "), obj, F.lit(" .")).alias("line")
-    )
+        # a malformed triple (all four object columns null — TRIPLE_SCHEMA
+        # allows it) concats to a NULL line, and the text datasource rejects
+        # null values: one bad row must not fail a whole export job —
+        # quarantine upstream, drop here
+    ).filter(F.col("line").isNotNull())
 
 
 def nt_lines(triples: DataFrame) -> DataFrame:
@@ -92,13 +96,47 @@ def ttl_lines(triples: DataFrame, prefixes: dict[str, str]) -> DataFrame:
     Compaction happens at the *term* level (longest namespace wins,
     PN_LOCAL-safe locals only) — never on the rendered line, so a literal
     that happens to contain ``<http://ns/x>`` text is left untouched.
-    Header ``@prefix`` lines unioned on top."""
+    Header ``@prefix`` lines unioned on top.
+
+    .. warning:: Turtle requires a prefix declaration to PRECEDE its first
+       use — do not sort or repartition this unioned frame before writing
+       (the header lines would interleave into the body). For a valid file
+       export use :func:`write_ttl`, which writes the header separately."""
     body = _render_lines(triples, lambda c: _compact_term(c, prefixes))
     spark = triples.sparkSession
     header = spark.createDataFrame(
         [(f"@prefix {p}: <{n}> .",) for p, n in prefixes.items()], "line string"
     )
     return header.unionByName(body)
+
+
+def write_ttl(
+    triples: DataFrame, path: str, prefixes: dict[str, str],
+    gzip: bool = False, sort: bool = False,
+) -> None:
+    """K2 file export: the body writes distributed (optionally sorted for
+    golden files); the ``@prefix`` header is written as its own part file
+    named ``00_prefixes.ttl`` so it sorts FIRST in the output directory —
+    concatenating the directory's files in name order is then a conforming
+    Turtle document (declarations precede every use), which a sorted union
+    of header+body lines is not."""
+    import gzip as gz
+    import os
+
+    body = _render_lines(triples, lambda c: _compact_term(c, prefixes))
+    if sort:
+        body = body.orderBy("line")
+    w = body.write.mode("overwrite")
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.text(path)
+    header = "".join(f"@prefix {p}: <{n}> .\n" for p, n in prefixes.items())
+    if gzip:
+        with gz.open(os.path.join(path, "00_prefixes.ttl.gz"), "wt", encoding="utf-8") as f:
+            f.write(header)
+    else:
+        with open(os.path.join(path, "00_prefixes.ttl"), "w", encoding="utf-8") as f:
+            f.write(header)
 
 
 def split_schema_data(triples: DataFrame, schema_ns: str) -> tuple[DataFrame, DataFrame]:

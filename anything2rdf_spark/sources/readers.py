@@ -106,7 +106,12 @@ def marker_delimited(
     is the correct parallelism unit here."""
     from ..operators.windows import last_marker_propagation
 
-    whole = spark.read.option("wholetext", True).text(path).withColumn(
+    # NB: .option("wholetext", True) silently does nothing — the Python
+    # bool stringifies to "True" and the text source's option parse is
+    # case-sensitive, leaving the reader in line mode (line_no was 0 for
+    # every row and record order was a collect_list accident). The kwarg
+    # form normalizes the boolean correctly.
+    whole = spark.read.text(path, wholetext=True).withColumn(
         "_file", F.input_file_name()
     )
     arr = F.split(F.col("value"), "\n")
@@ -122,10 +127,24 @@ def marker_delimited(
     lines = lines.withColumn("marker", F.regexp_extract("value", marker_regex, 1))
     lines = lines.withColumn("marker", F.when(F.col("marker") == "", None).otherwise(F.col("marker")))
     tagged = last_marker_propagation(lines, "marker", "line_no", part_col="_file")
+    # Marker rows stay IN the grouping (so a marker immediately followed by
+    # another marker still yields a record, with empty text) but contribute
+    # no body: the guarded struct is null for them and collect_list skips
+    # nulls. The collected structs are array_sorted by line_no before
+    # joining — collect_list's post-shuffle order is explicitly
+    # non-deterministic, and multi-line bodies must not depend on it.
+    body = F.when(F.col("marker").isNull(), F.struct("line_no", "value"))
     return (
-        tagged.filter(F.col("marker").isNull() & F.col("current_marker").isNotNull())
+        tagged.filter(F.col("current_marker").isNotNull())
         .groupBy(F.col("current_marker").alias("record_id"))
-        .agg(F.concat_ws("\n", F.collect_list(F.struct("line_no", "value")).getField("value")).alias("text"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(body)), lambda s: s["value"]
+                ),
+            ).alias("text")
+        )
     )
 
 
@@ -220,9 +239,25 @@ def parse_marc_bytes(blob: bytes) -> list[dict]:
         leader = blob[pos : pos + 24]
         try:
             rec_len = int(leader[0:5])
+        except ValueError:
+            rec_len = -1
+        if rec_len < 24:
+            # an unparseable/zero/garbage record length cannot advance the
+            # cursor — without this resync `pos += rec_len` would loop
+            # forever on the same offset (an executor task hang, not a
+            # skipped record); skip to the next record terminator instead
+            nxt = blob.find(bytes([_MARC_RT]), pos)
+            if nxt == -1:
+                break
+            pos = nxt + 1
+            continue
+        try:
             base = int(leader[12:17])
         except ValueError:
-            break
+            # record length is valid but the base address is not: skip this
+            # record by its declared length (malformed-skipped, not fatal)
+            pos += rec_len
+            continue
         rec = blob[pos : pos + rec_len]
         if len(rec) < rec_len:
             break

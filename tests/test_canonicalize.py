@@ -113,3 +113,19 @@ def test_components_partitioning_invariant(spark):
         for r in CN.connected_components(edges.coalesce(1)).collect()
     }
     assert a == b
+
+
+def test_degree_merge_duplicate_edges_and_null_names(spark):
+    """Duplicate edge rows must not inflate degrees past 1 (a true 1:1 pair
+    still merges), and a null name yields merge=False, never NULL."""
+    edges = spark.createDataFrame(
+        [("c1", "p1", "ann", "ann"),
+         ("c1", "p1", "ann", "ann"),      # duplicate row
+         ("c2", "p2", "bob", None)],      # null right name
+        "client string, person string, lname string, rname string",
+    )
+    out = {(r["client"], r["person"]): r["merge"]
+           for r in CN.degree_constrained_merge(
+               edges, "client", "person", "lname", "rname").collect()}
+    assert out[("c1", "p1")] is True
+    assert out[("c2", "p2")] is False  # False, not None

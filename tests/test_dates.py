@@ -87,12 +87,14 @@ def test_certainty_bucket(spark):
 
 def test_english_date(spark):
     df = spark.createDataFrame(
-        [("4th May 1771",), ("May 1771",), ("1771",), ("1st February 1772",)], "s string"
+        [("4th May 1771",), ("May 1771",), ("1771",), ("1st February 1772",),
+         ("Floreal 1771",)], "s string"
     )
     early = [r["v"] for r in df.select(dates.english_date("s", True).alias("v")).collect()]
     late = [r["v"] for r in df.select(dates.english_date("s", False).alias("v")).collect()]
-    assert early == ["1771-05-4", "1771-05-01", "1771-01-01", "1772-02-1"]
-    assert late == ["1771-05-4", "1771-05-31", "1771-12-31", "1772-02-1"]
+    # ISO output: single-digit days zero-padded; unknown month names -> NULL
+    assert early == ["1771-05-04", "1771-05-01", "1771-01-01", "1772-02-01", None]
+    assert late == ["1771-05-04", "1771-05-31", "1771-12-31", "1772-02-01", None]
 
 
 def test_repair_partial_date(spark):

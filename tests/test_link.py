@@ -41,7 +41,7 @@ def test_link_matched_and_get_or_create(spark):
     # get-or-create: deterministic IRI, identical across rows/conversations
     assert rows[("c1", 1)][1] is False
     assert rows[("c1", 1)][0] == rows[("c2", 0)][0]
-    assert rows[("c1", 1)][0].startswith(NS + "entity_new_")
+    assert rows[("c1", 1)][0].startswith(NS + "entity-new_")
     new = LK.new_entities(linked)
     assert new.count() == 1
 

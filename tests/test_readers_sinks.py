@@ -196,3 +196,49 @@ def test_split_schema_data(spark):
     )
     schema, data = SK.split_schema_data(df, "http://x/schema#")
     assert schema.count() == 1 and data.count() == 1
+
+
+def test_marc_zero_length_record_does_not_hang(spark):
+    """A leader whose record length parses to 0 (or garbage < 24) must not
+    loop forever on the same offset — the parser resyncs at the next record
+    terminator and keeps the following good record."""
+    good = RD.build_marc_record([("001", "recX")])
+    blob = b"00000" + b" " * 19 + b"\x1d" + good
+    rows = RD.parse_marc_bytes(blob)
+    assert any(r["value"] == "recX" for r in rows)
+
+
+def test_marker_delimited_empty_body_and_order(spark, tmp_path):
+    """A marker immediately followed by another marker still yields a
+    record (empty text), and multi-line bodies concatenate in line order
+    regardless of collect_list's shuffle order."""
+    p = tmp_path / "m.txt"
+    p.write_text("<L A>\n<L B>\nline one\nline two\nline three\n")
+    out = {r["record_id"]: r["text"] for r in
+           RD.marker_delimited(spark, str(p)).collect()}
+    assert out == {"A": "", "B": "line one\nline two\nline three"}
+
+
+def test_nt_lines_drops_malformed_all_null_object(spark):
+    """A triple with every object column null renders to a NULL line, which
+    the text datasource rejects — such rows are dropped, not job-fatal."""
+    rows = [
+        ("http://x/s", "http://x/p", "http://x/o", None, None, None, "c", 0),
+        ("http://x/bad", "http://x/p", None, None, None, None, "c", 0),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    lines = [r["line"] for r in SK.nt_lines(df).collect()]
+    assert lines == ["<http://x/s> <http://x/p> <http://x/o> ."]
+
+
+def test_write_ttl_header_file_sorts_first(spark, tmp_path):
+    df = spark.createDataFrame(TRIPLES_ROWS[:2], TRIPLES_SCHEMA)
+    out = str(tmp_path / "ttl")
+    SK.write_ttl(df, out, {"x": "http://x/"}, sort=True)
+    import os
+    files = sorted(f for f in os.listdir(out)
+                   if not f.startswith(("_", ".")) and not f.endswith(".crc"))
+    assert files[0] == "00_prefixes.ttl"
+    text = "".join(open(os.path.join(out, f)).read() for f in files)
+    # prefix declaration precedes every use in name-order concatenation
+    assert text.index("@prefix x:") < text.index("x:")
