@@ -1677,7 +1677,7 @@ e AS (
 )
 SELECT CAST(cid AS INT) AS cid,
   regexp_replace(camel, '(\\p{{Ll}})(\\p{{Lu}})', '\\1 \\2', 'g') AS uncamel,
-  regexp_extract(punct, '^[^\\p{{L}}\\p{{N}}]*(.*?)[^\\p{{L}}\\p{{N}}]*$', 1) AS trimmed,
+  regexp_extract(punct, '(?s)^[^\\p{{L}}\\p{{N}}]*(.*?)[^\\p{{L}}\\p{{N}}]*$', 1) AS trimmed,
   regexp_replace(regexp_replace(abbrev, '\\bNYC\\b', 'New York City', 'g'),
                  '\\bLA\\b', 'Los Angeles', 'g') AS expanded,
   regexp_replace(regexp_replace(regexp_replace(markup,
@@ -1724,7 +1724,7 @@ SELECT CAST(cid AS INT) AS cid,
   CASE WHEN lower(gender) = 'm' THEN 'male'
        WHEN lower(gender) = 'f' THEN 'female' ELSE NULL END AS gender_lbl,
   CASE WHEN iri_cand IS NOT NULL AND regexp_matches(iri_cand,
-         '^[A-Za-z][A-Za-z0-9+.-]*://[^\\s<>"{{}}|\\\\^`]+$')
+         '^[A-Za-z][A-Za-z0-9+.-]*:(//)?[^\\s<>"{{}}|\\\\^`]+$')
        THEN iri_cand ELSE '{NS}fallback' END AS iri_ok
 FROM e
 """

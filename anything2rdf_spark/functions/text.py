@@ -41,8 +41,11 @@ def multi_value_split(col: Column | str, sep_regex: str = r"[,;\n|]") -> Column:
 
 
 def punct_trim(col: Column | str) -> Column:
-    """Strip non-alphanumeric prefix/suffix (HelmetMARC2ISBNRDF.scala:57-63)."""
-    return F.regexp_extract(_c(col), r"^[^\p{L}\p{N}]*(.*?)[^\p{L}\p{N}]*$", 1)
+    """Strip non-alphanumeric prefix/suffix (HelmetMARC2ISBNRDF.scala:57-63).
+    ``(?s)`` makes '.' cross newlines: without it an interior ``\\n`` made
+    the anchored pattern unmatched and regexp_extract returned '' —
+    destroying the whole value instead of trimming it."""
+    return F.regexp_extract(_c(col), r"(?s)^[^\p{L}\p{N}]*(.*?)[^\p{L}\p{N}]*$", 1)
 
 
 def strip_wiki_markup(col: Column | str) -> Column:
@@ -325,14 +328,24 @@ def mention_scan_udf(surfaces, engine: str = "auto"):
     dictionary casing, leftmost-longest, non-overlapping.
     """
     bc = surfaces if hasattr(surfaces, "value") else None
-    local = None if bc is not None else sorted(set(surfaces), key=len, reverse=True)
+    # tie-break equal lengths lexicographically: a bare key=len sort leaves
+    # equal-length order to set iteration (hash-randomized per process), so
+    # case-variant surfaces sharing a lowercase key could canonicalize
+    # differently on different executors within ONE run
+    local = (
+        None if bc is not None else sorted(set(surfaces), key=lambda s: (-len(s), s))
+    )
     # content-keyed cache slot (minted on the driver, stable across all
     # tasks of this UDF AND across re-invocations with the same dictionary)
     # — the automaton builds once per executor per distinct dictionary
     cache_key = _surfaces_fingerprint(bc.value if bc is not None else local, engine)
 
     def _build():
-        surfs = sorted(set(bc.value), key=len, reverse=True) if bc is not None else local
+        surfs = (
+            sorted(set(bc.value), key=lambda s: (-len(s), s))
+            if bc is not None
+            else local
+        )
         if not surfs:
             # an empty dictionary must scan to nothing: the alternation
             # regex would otherwise degenerate to \b()\b, whose empty-string
@@ -343,13 +356,20 @@ def mention_scan_udf(surfaces, engine: str = "auto"):
             eng = "aho" if len(surfs) > AC_THRESHOLD else "regex"
         canon = {s.lower(): s for s in surfs}
         if eng == "regex":
+            # scan the LOWERED text with a lowered pattern instead of
+            # re.IGNORECASE: IGNORECASE uses full Unicode case-folding
+            # (µ≡μ, ς≡σ), which both KeyErrors on the .lower()-keyed canon
+            # map for such matches AND disagrees with the AC engine's
+            # plain-lowercase semantics — lowering both sides keeps the two
+            # engines identical by construction
+            lowered = sorted({s.lower() for s in surfs}, key=lambda s: (-len(s), s))
             pattern = re.compile(
-                r"\b(" + "|".join(re.escape(s) for s in surfs) + r")\b", re.IGNORECASE
+                r"\b(" + "|".join(re.escape(s) for s in lowered) + r")\b"
             )
 
             def scan_series(texts: pd.Series) -> pd.Series:
-                found = texts.fillna("").str.findall(pattern)
-                return found.map(lambda ms: [canon[m.lower()] for m in ms])
+                found = texts.fillna("").str.lower().str.findall(pattern)
+                return found.map(lambda ms: [canon[m] for m in ms])
 
         else:
             ac = AhoCorasick(sorted({s.lower() for s in surfs}))

@@ -83,7 +83,9 @@ def valid_iri_or_fallback(candidate: Column | str, fallback: Column) -> Column:
     (reference warns + substitutes ``ns+id``); pair with a quarantine
     projection ``candidate.isNotNull() & !is_valid`` for the warn rows."""
     c = _col(candidate)
-    ok = c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^\s<>\"{}|\\^`]+$")
+    # '//' optional: scheme-only absolute IRIs (urn:, mailto:, doi:) are
+    # valid and accepted by the reference's IRIFactory check
+    ok = c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?[^\s<>\"{}|\\^`]+$")
     return F.when(c.isNotNull() & ok, c).otherwise(fallback)
 
 

@@ -42,13 +42,17 @@ def flatten_tree(
         )
         if kids.isEmpty():
             break
-        has_kids = "children" in [f.name for f in kids.schema["_k"].dataType.fields]
+        # nested levels use the SAME configurable column names as the root
+        # (a custom id_col/children_col used to hit hardcoded 'id'/'children'
+        # below depth 0: AnalysisException for the id, silently-dropped
+        # grandchildren for the children)
+        has_kids = children_col in [f.name for f in kids.schema["_k"].dataType.fields]
         level = kids.select(
-            F.col(f"_k.{'id'}").alias("id"),
+            F.col(f"_k.{id_col}").alias("id"),
             "parent_id",
             "depth",
-            F.struct(*[F.col(f"_k.{f.name}") for f in kids.schema["_k"].dataType.fields if f.name != "children"]).alias("node"),
-            (F.col("_k.children") if has_kids else F.array().cast("array<struct<id:string>>")).alias("_kids"),
+            F.struct(*[F.col(f"_k.{f.name}") for f in kids.schema["_k"].dataType.fields if f.name != children_col]).alias("node"),
+            (F.col(f"_k.{children_col}") if has_kids else F.array().cast(f"array<struct<{id_col}:string>>")).alias("_kids"),
         )
         out = out.unionByName(level.drop("_kids"), allowMissingColumns=True)
         if not has_kids:
@@ -108,7 +112,12 @@ def dynamic_subclass_triples(values: DataFrame, value_col: str, parent_class: st
     from .. import iri
 
     return (
-        values.select(F.col(value_col)).distinct()
+        values.select(F.col(value_col))
+        # ANE guard like every sibling emitter: a null value would mint a
+        # null subj (TRIPLE_SCHEMA declares it non-nullable) and an empty
+        # one the bare schema namespace
+        .filter(F.col(value_col).isNotNull() & (F.trim(F.col(value_col)) != ""))
+        .distinct()
         .select(
             iri.schema_class_iri(value_col).alias("subj"),
             F.lit(RDFS_SUBCLASSOF).alias("pred"),
@@ -175,25 +184,40 @@ def parse_statute_xml(xml: str) -> list[dict]:
         nu = el.find("nu")
         return (nu.text or "").strip() if nu is not None else ""
 
+    def own_text(el) -> str:
+        """Element text EXCLUDING nested structural elements' subtrees —
+        those are handled by their own walk step (an id-less wrapper must
+        not swallow an id-bearing descendant's text)."""
+        parts = [el.text or ""]
+        for ch in el:
+            if ch.tag not in STATUTE_ELEMENT_KINDS:
+                parts.append(own_text(ch))
+            parts.append(ch.tail or "")
+        return "".join(parts)
+
     def walk(el, parent_id: str | None, running: str):
         for child in el:
             if child.tag in STATUTE_ELEMENT_KINDS:
                 cid = child.get("id")
                 if cid is None:
-                    # id-less structural element: body text folds into the
-                    # enclosing node (FinlexXML2RDF.scala:111-119)
+                    # id-less structural element: its OWN body text folds
+                    # into the enclosing node (FinlexXML2RDF.scala:111-119),
+                    # but its id-bearing descendants are still walked —
+                    # previously the whole subtree (descendants' text
+                    # included) was folded and the descendants dropped
                     if out and parent_id is not None:
                         enclosing = next(
                             (r for r in reversed(out) if r["node_id"] == parent_id), None
                         )
                         if enclosing is not None:
-                            text = "".join(child.itertext()).strip()
+                            text = own_text(child).strip()
                             if text:
                                 enclosing["body"] = (
                                     enclosing["body"] + "\n" + text
                                     if enclosing["body"]
                                     else text
                                 )
+                    walk(child, parent_id, running)
                     continue
                 label = title_of(child)
                 rt = f"{running}, {label}" if running and label else (label or running)

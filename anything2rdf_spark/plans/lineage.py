@@ -15,9 +15,6 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
 
 class LineageRegistry:
     def __init__(self, warehouse: str):
@@ -27,8 +24,20 @@ class LineageRegistry:
     def _rows(self) -> list[dict]:
         if not os.path.exists(self.path):
             return []
+        out: list[dict] = []
         with open(self.path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # a run killed mid-append leaves one truncated trailing
+                    # line; resume must survive it (correctness is guarded
+                    # by the checkpoint's _SUCCESS + schema sidecar, not by
+                    # this row) — skip, never crash the registry
+                    continue
+        return out
 
     def is_done(self, stage: str, fingerprint: str) -> bool:
         return any(
@@ -91,12 +100,3 @@ class LineageRegistry:
 
 def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
-
-
-def partition_row_counts(df: DataFrame) -> dict[int, int]:
-    """Per-partition output row counts — one cheap extra aggregation over the
-    already-materialized checkpoint (reads parquet footers + counts)."""
-    rows = (
-        df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    )
-    return {r["pid"]: r["count"] for r in rows}

@@ -139,10 +139,14 @@ def transcripts(
     normal = convs.select(
         "conv_id", F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx")
     )
-    # expected normal turn count ≈ n_convs * (max_len+1)/2; hot conv holds
-    # hot_frac of the total → hot = normal * f/(1-f)
-    approx_normal = int(n_convs * (max_len + 1) / 2)
-    hot_len = max(2, int(approx_normal * hot_frac / (1.0 - hot_frac)))
+    # hot conv must hold >= hot_frac of ALL turns (FIXTURES.md §1 invariant
+    # the skew tests rely on): derive from the ACTUAL normal count with a
+    # ceiling — the old floor-of-expected-count gave 9.99% at best and less
+    # when the hash-dependent realized count ran high
+    import math
+
+    n_normal = convs.agg(F.sum("n_turns")).collect()[0][0]
+    hot_len = max(2, math.ceil(n_normal * hot_frac / (1.0 - hot_frac)))
     hot = spark.range(hot_len).select(
         F.lit("conv_hot").alias("conv_id"), F.col("id").cast("int").alias("turn_idx")
     )

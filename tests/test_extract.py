@@ -93,7 +93,7 @@ def test_transcripts_generator_contract(spark):
     ts = synth.transcripts(spark, n_convs=200, seed=42)
     total = ts.count()
     hot = ts.filter(F.col("conv_id") == "conv_hot").count()
-    assert hot / total >= 0.09  # skewed conversation holds ~10% of turns
+    assert hot / total >= 0.10  # FIXTURES.md §1: hot conv holds >= 10% of turns
     # determinism across partitioning
     c1 = ts.select(F.sha2(F.concat_ws("|", *ts.columns), 256).alias("h"))
     ts2 = synth.transcripts(spark, n_convs=200, seed=42).repartition(13)

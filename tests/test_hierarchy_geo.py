@@ -116,3 +116,40 @@ def test_statute_stack_hierarchy(spark):
     }
     assert any("statute_node_1928%2F161%3Ao1" in s or "1928" in s for s, _ in part_of)
     assert len(part_of) == 4  # every non-root node links to its parent
+
+
+def test_flatten_tree_custom_column_names(spark):
+    """id_col/children_col must apply below depth 0 too (they used to be
+    hardcoded to 'id'/'children' for nested levels: AnalysisException for a
+    custom id, silently-dropped grandchildren for custom children)."""
+    schema = (
+        "nid string, name string, kids array<struct<nid:string, name:string,"
+        " kids:array<struct<nid:string, name:string>>>>"
+    )
+    data = [("r", "Root", [("c", "Child", [("g", "Grand")])])]
+    df = spark.createDataFrame(data, schema)
+    out = {r["id"]: (r["parent_id"], r["depth"])
+           for r in H.flatten_tree(df, id_col="nid", children_col="kids").collect()}
+    assert out == {"r": (None, 0), "c": ("r", 1), "g": ("c", 2)}
+
+
+def test_statute_idless_wrapper_keeps_descendants(spark):
+    """An id-less structural wrapper folds only its OWN text into the
+    enclosing node; id-bearing descendants inside it still become nodes."""
+    xml = (
+        '<sd id="a"><nu>One</nu>'
+        "<os>wrapper text"
+        '<py id="p1"><nu>P</nu>leaf text</py>'
+        "</os></sd>"
+    )
+    rows = {r["node_id"]: r for r in H.parse_statute_xml(xml)}
+    assert set(rows) == {"a", "p1"}
+    assert rows["p1"]["parent_id"] == "a"
+    assert "wrapper text" in rows["a"]["body"]
+    assert "leaf text" not in rows["a"]["body"]  # not double-counted
+
+
+def test_dynamic_subclass_skips_null_and_blank(spark):
+    vals = spark.createDataFrame([("Novel",), (None,), ("  ",)], "work_type string")
+    out = H.dynamic_subclass_triples(vals, "work_type", "http://x/Work")
+    assert out.count() == 1 and out.collect()[0]["subj"] is not None

@@ -52,3 +52,17 @@ def test_mint_hashed_stable(spark):
 def test_bnode_deterministic(spark):
     v1 = one(spark, iri.bnode(F.lit("a"), F.lit("b")))
     assert v1.startswith("_:b") and len(v1) == 3 + 24
+
+
+def test_valid_iri_accepts_scheme_only_iris(spark):
+    """urn:/mailto:/doi: are valid absolute IRIs (Jena IRIFactory accepts
+    them); only schemeless or whitespace-bearing candidates fall back."""
+    from pyspark.sql import functions as F
+
+    rows = [("urn:isbn:0451450523",), ("mailto:a@b.example",),
+            ("http://x/ok",), ("not a iri",), (None,)]
+    df = spark.createDataFrame(rows, "c string")
+    out = [r["o"] for r in df.select(
+        iri.valid_iri_or_fallback("c", F.lit("FB")).alias("o")).collect()]
+    assert out == ["urn:isbn:0451450523", "mailto:a@b.example",
+                   "http://x/ok", "FB", "FB"]

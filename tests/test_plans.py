@@ -132,3 +132,16 @@ def test_curation_chain_single_shuffle(spark, transcripts):
     )
     p = plan(curate_corpus(docs, langs=("en",), min_quality=0.5))
     assert _n_exchanges(p) == 1
+
+
+def test_lineage_registry_survives_truncated_line(tmp_path):
+    """A run killed mid-append leaves a partial trailing JSONL line; the
+    registry must skip it, not crash every later resume."""
+    from anything2rdf_spark.plans.lineage import LineageRegistry
+
+    reg = LineageRegistry(str(tmp_path))
+    reg.record("r1", "extract", "fp1", None, 10, 5)
+    with open(reg.path, "a") as f:
+        f.write('{"run_id": "r2", "stage": "ext')  # truncated
+    assert reg.is_done("extract", "fp1")
+    assert len(reg.metrics()) == 1

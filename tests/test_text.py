@@ -144,3 +144,36 @@ def test_mention_scan_broadcast_surfaces(spark):
     df = spark.createDataFrame([("Ada Lovelace visited CERN with ada",)], "text string")
     (row,) = df.select(scan("text").alias("m")).collect()
     assert row["m"] == ["Ada Lovelace", "CERN", "Ada"]
+
+
+def test_punct_trim_interior_newline(spark):
+    """A value with an embedded newline must trim, not collapse to '' (the
+    anchored pattern needs (?s) for '.' to cross the newline)."""
+    df = spark.createDataFrame([("--foo\nbar!!",), ("(x)",)], "t string")
+    got = [r["o"] for r in df.select(TX.punct_trim("t").alias("o")).collect()]
+    assert got == ["foo\nbar", "x"]
+
+
+def test_mention_scan_unicode_casefold_safe(spark):
+    """Text whose lowercase differs from any surface's lowercase under
+    Unicode case-folding (micro sign µ vs Greek mu μ) must not crash the
+    scanner; both engines agree on plain-lowercase semantics."""
+    surfaces = ["μm", "Ada"]
+    df = spark.createDataFrame(
+        [("size in µm here",), ("about μm units",), ("ada spoke",)], "text string"
+    )
+    for eng in ("regex", "aho"):
+        scan = TX.mention_scan_udf(surfaces, engine=eng)
+        got = [r["m"] for r in df.select(scan(F.col("text")).alias("m")).collect()]
+        # micro sign is NOT the same lowercase char as Greek mu: no match
+        assert got == [[], ["μm"], ["Ada"]], (eng, got)
+
+
+def test_mention_canon_deterministic_case_variants(spark):
+    """Case-variant surfaces sharing one lowercase key canonicalize to the
+    same (lexicographically last) form on every engine and every run."""
+    for eng in ("regex", "aho"):
+        scan = TX.mention_scan_udf(["IBM", "Ibm"], engine=eng)
+        df = spark.createDataFrame([("ibm ships",)], "text string")
+        got = df.select(scan(F.col("text")).alias("m")).collect()[0]["m"]
+        assert got == ["Ibm"], (eng, got)
