@@ -587,11 +587,13 @@ _KG_REIFY_ORACLE = (
          {_bounds_case('sy', True)} AS bob,
          {_bounds_case('sy', False)} AS eob,
          {_bounds_case('ey', True)} AS boe,
-         {_bounds_case('ey', False)} AS eoe
+         {_bounds_case('ey', False)} AS eoe,
+         q, sy, ey
   FROM rels
 ), x2 AS (
   SELECT *,
-         '{NS}stmt_' || substr(sha256(s || chr(31) || p || chr(31) || o), 1, 32) AS stmt,
+         '{NS}stmt_' || substr(sha256(s || chr(31) || p || chr(31) || o || chr(31) ||
+             CAST(confidence AS VARCHAR) || chr(31) || q || chr(31) || sy || chr(31) || ey), 1, 32) AS stmt,
          '{NS}time_' || coalesce(bob, '_') || '-' || coalesce(eob, '_')
                      || '-' || coalesce(boe, '_') || '-' || coalesce(eoe, '_') AS tsp
   FROM x
@@ -607,7 +609,7 @@ _KG_REIFY_ORACLE = (
             _tsel("stmt", _lit(S + "confidence"), obj_lit="CAST(confidence AS VARCHAR)",
                   obj_dtype=_lit(XSD_INTEGER), src="x2", conv=_NULL_V, turn=_NULL_I),
             _tsel("stmt", _lit(S + "descriptiveCertainty"), obj_lit="cert",
-                  src="x2", conv=_NULL_V, turn=_NULL_I),
+                  src="x2", where="cert <> ''", conv=_NULL_V, turn=_NULL_I),
             _tsel("stmt", _lit(S + "hasTimeSpan"), obj_iri="tsp", src="x2", conv=_NULL_V, turn=_NULL_I),
             _tsel("tsp", _lit(RDF_TYPE), obj_iri=_lit(S + "TimeSpan"), src="x2", conv=_NULL_V, turn=_NULL_I),
             _tsel("tsp", _lit(S + "beginOfTheBegin"), obj_lit="bob", obj_dtype=_lit(XSD_DATETIME),

@@ -66,4 +66,10 @@ def _inverse(east: np.ndarray, north: np.ndarray) -> tuple[np.ndarray, np.ndarra
 )
 def tm35fin_to_wgs84(east: pd.Series, north: pd.Series) -> pd.DataFrame:
     lat, lon = _inverse(east.to_numpy(dtype=float), north.to_numpy(dtype=float))
-    return pd.DataFrame({"lat": lat, "lon": lon})
+    out = pd.DataFrame({"lat": lat, "lon": lon})
+    # null inputs arrive as NaN and would propagate as non-null NaN
+    # coordinates past downstream isNotNull guards — return null fields
+    bad = east.isna().to_numpy() | north.isna().to_numpy()
+    if bad.any():
+        out.loc[bad, ["lat", "lon"]] = None
+    return out

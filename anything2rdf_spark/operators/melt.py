@@ -21,11 +21,24 @@ from ..schemas import TRIPLE_COLS
 
 
 def melt(df: DataFrame, key_cols: list[str], value_cols: list[str] | None = None) -> DataFrame:
-    """Wide → long: (key_cols..., col_name, value). Native ``stack``."""
+    """Wide → long: (key_cols..., col_name, value). Native ``stack``.
+
+    Column names are backtick-quoted and embedded name literals escaped —
+    arbitrary CSV headers (spaces, quotes, dots, even backticks) are exactly
+    the inputs this operator exists for, and raw interpolation into
+    selectExpr would mis-parse or struct-resolve them."""
     value_cols = value_cols or [c for c in df.columns if c not in key_cols]
-    pairs = ", ".join(f"'{c}', cast(`{c}` AS string)" for c in value_cols)
+
+    def bq(c: str) -> str:  # identifier: backticks doubled inside backticks
+        return "`" + c.replace("`", "``") + "`"
+
+    def sq(c: str) -> str:  # string literal: single quotes doubled
+        return "'" + c.replace("'", "''") + "'"
+
+    pairs = ", ".join(f"{sq(c)}, cast({bq(c)} AS string)" for c in value_cols)
     return df.selectExpr(
-        *key_cols, f"stack({len(value_cols)}, {pairs}) AS (col_name, value)"
+        *[bq(c) for c in key_cols],
+        f"stack({len(value_cols)}, {pairs}) AS (col_name, value)",
     )
 
 
@@ -54,7 +67,10 @@ def generic_column_triples(
             "obj_dtype", F.lit(None).cast("string")
         )
     pred = F.coalesce(F.col("pred_iri"), iri.schema_prop_iri("col_name"))
-    is_yn = F.col("value").isin("Y", "N")
+    # Y/N boolean coercion belongs to the generic FALLBACK only
+    # (ceectsv2rdf.scala:176-177): a rule-matched column keeps its declared
+    # dtype — a value 'N' in a mapped string column is the literal 'N'
+    is_yn = F.col("value").isin("Y", "N") & F.col("pred_iri").isNull()
     return long.select(
         subject_expr.alias("subj"),
         pred.alias("pred"),

@@ -104,7 +104,16 @@ def relationship_triples(
     s = iri.mint("entity", "left_id", ns=ns)
     o = iri.mint("entity", "right_id", ns=ns)
     p = iri.schema_prop_iri("rel_type")
-    stmt = iri.mint_hashed("stmt", s, p, o, ns=ns)
+    # statement IRI keyed on (s, p, o, qualifiers) — (s,p,o) alone would
+    # conflate two rows asserting the same edge with DIFFERENT confidence
+    # or time qualifiers onto one rdf:Statement, merging contradictory
+    # qualifier values (the reference mints a fresh BN per row)
+    stmt = iri.mint_hashed(
+        "stmt", s, p, o,
+        F.col("confidence"), F.col("qualifier"),
+        F.col("start_year"), F.col("end_year"),
+        ns=ns,
+    )
 
     start = DT.qualifier_bounds("qualifier", "start_year")
     end = DT.qualifier_bounds("qualifier", "end_year", end=True)
@@ -128,7 +137,11 @@ def relationship_triples(
             stmt,
             P_CERTAINTY,
             obj_lit=DT.certainty_bucket("confidence"),
-            guard=F.col("confidence").isNotNull() & DT.certainty_bucket("confidence").isNotNull(),
+            # bucket '' (confidence 100) means "omit the qualifier" in the
+            # reference, not "emit an empty literal"
+            guard=F.col("confidence").isNotNull()
+            & DT.certainty_bucket("confidence").isNotNull()
+            & (DT.certainty_bucket("confidence") != ""),
         ),
         _t(stmt, V["has_timespan"], obj_iri=ts_iri, guard=has_span),
         _t(ts_iri, RDF_TYPE, obj_iri=F.lit(V["timespan_class"]), guard=has_span),

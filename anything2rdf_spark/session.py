@@ -24,6 +24,7 @@ def get_spark(
     # be ~2-3x total executor cores, set via spark-submit conf.
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        n = n.split(",")[0]  # local[N,maxFailures] is legal Spark syntax
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
     b = (
         SparkSession.builder.master(master)

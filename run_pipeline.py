@@ -27,6 +27,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dictionary", help="entity dictionary parquet path")
     ap.add_argument("--alias-edges", dest="alias_edges", help="alias edges parquet path")
     ap.add_argument("--synth-convs", dest="synth_convs", type=int, default=0)
+    ap.add_argument(
+        "--demo-fixtures",
+        dest="demo_fixtures",
+        action="store_true",
+        help="inject the synthetic code tables / dictionary / alias edges "
+        "for missing inputs (implied by --synth-convs; NEVER default for "
+        "real inputs — synthetic triples would contaminate a real KG)",
+    )
     ap.add_argument("--fingerprint", default="v1")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--master", default=None)
@@ -60,13 +68,23 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("need --input or --synth-convs")
 
-    dictionary = (
-        spark.read.parquet(args.dictionary) if args.dictionary else synth.entity_dictionary(spark)
-    )
-    alias_edges = (
-        spark.read.parquet(args.alias_edges) if args.alias_edges else synth.alias_edges(spark)
-    )
-    surfaces = None if args.dictionary else synth.ALL_MENTION_NAMES
+    # Synthetic stand-ins are for demo/synthetic runs ONLY: silently
+    # injecting fake code tables or alias edges into a run over REAL
+    # transcripts would contaminate the output KG with synthetic triples.
+    demo = bool(args.synth_convs) or args.demo_fixtures
+    if args.dictionary:
+        dictionary = spark.read.parquet(args.dictionary)
+        surfaces = None
+    elif demo:
+        dictionary = synth.entity_dictionary(spark)
+        surfaces = synth.ALL_MENTION_NAMES
+    else:
+        ap.error("--dictionary is required for real inputs (or pass --demo-fixtures)")
+    if args.alias_edges:
+        alias_edges = spark.read.parquet(args.alias_edges)
+    else:
+        alias_edges = synth.alias_edges(spark) if demo else None
+    code_tables = synth.code_tables(spark) if demo else None
 
     pipe = Pipeline(
         spark, args.warehouse, broadcast_map_max_rows=args.broadcast_map_max_rows
@@ -74,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
     metrics = pipe.run(
         transcripts=transcripts,
         dictionary=dictionary,
-        code_tables=synth.code_tables(spark),
+        code_tables=code_tables,
         alias_edges=alias_edges,
         dictionary_surfaces=surfaces,
         fingerprint=args.fingerprint,

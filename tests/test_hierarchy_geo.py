@@ -153,3 +153,16 @@ def test_dynamic_subclass_skips_null_and_blank(spark):
     vals = spark.createDataFrame([("Novel",), (None,), ("  ",)], "work_type string")
     out = H.dynamic_subclass_triples(vals, "work_type", "http://x/Work")
     assert out.count() == 1 and out.collect()[0]["subj"] is not None
+
+
+def test_geo_null_inputs_yield_null_coords(spark):
+    """NULL east/north must yield NULL lat/lon, not a non-null NaN struct
+    that slips past isNotNull guards downstream."""
+    from anything2rdf_spark.functions.geo import tm35fin_to_wgs84
+
+    df = spark.createDataFrame(
+        [(386249.8, 6672257.0), (None, 6672257.0)], "e double, n double"
+    )
+    rows = df.select(tm35fin_to_wgs84("e", "n").alias("g")).collect()
+    assert rows[0]["g"]["lat"] is not None
+    assert rows[1]["g"]["lat"] is None and rows[1]["g"]["lon"] is None

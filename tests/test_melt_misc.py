@@ -84,3 +84,35 @@ def test_csv_width_check(spark, tmp_path):
     p.write_text("a,b,c\n1,2,3\nx,y\n")
     good, quarantine = RD.csv_with_width_check(spark, str(p), expected_cols=3)
     assert good.count() == 2 and quarantine.count() == 1
+
+
+def test_melt_handles_hostile_column_names(spark):
+    """Arbitrary CSV headers — spaces, quotes, dots, backticks — are the
+    whole point of melt; raw selectExpr interpolation used to mis-parse."""
+    from anything2rdf_spark.operators.melt import melt
+
+    df = spark.createDataFrame(
+        [(1, "a", "b", "c", "d")],
+        ["id", "it's", "First Name", "a.b", "we`ird"],
+    )
+    out = {r["col_name"]: r["value"] for r in melt(df, ["id"]).collect()}
+    assert out == {"it's": "a", "First Name": "b", "a.b": "c", "we`ird": "d"}
+
+
+def test_yn_coercion_only_for_fallback_columns(spark):
+    """A rule-mapped column keeps its declared dtype — value 'N' in a mapped
+    string column is the literal 'N', not boolean false (the Y/N fallback is
+    scoped to unmatched columns, ceectsv2rdf:176-177)."""
+    from anything2rdf_spark import iri
+    from anything2rdf_spark.operators.melt import generic_column_triples
+
+    df = spark.createDataFrame([(1, "N", "Y")], ["rid", "initial", "active"])
+    rules = spark.createDataFrame(
+        [("initial", "http://x/initial", None)],
+        "col_name string, pred_iri string, obj_dtype string",
+    )
+    rows = {r["pred"]: (r["obj_lit"], r["obj_dtype"])
+            for r in generic_column_triples(df, ["rid"], iri.mint("r", "rid"), rules).collect()}
+    assert rows["http://x/initial"] == ("N", None)  # literal, rule dtype kept
+    lit, dt = rows[[p for p in rows if p.endswith("active")][0]]
+    assert lit == "true" and dt and dt.endswith("boolean")  # fallback coerces

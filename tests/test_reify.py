@@ -110,3 +110,25 @@ def test_relationship_triples_cidoc_vocab(spark):
     # IN qualifier fills all four points
     four = triples.filter(F.col("pred").isin(CIDOC_BOB, CIDOC_EOB, CIDOC_BOE, CIDOC_EOE))
     assert four.count() == 4
+
+
+def test_stmt_iri_distinct_per_qualifier(spark):
+    """Two rows asserting the same (s,p,o) edge with different qualifiers
+    must reify to DIFFERENT statements — (s,p,o)-only hashing conflated
+    contradictory confidence/time-span values onto one rdf:Statement.
+    Also: confidence=100 buckets to '' which means 'omit the qualifier',
+    never an empty literal."""
+    rels = spark.createDataFrame(
+        [("a", "knows", "b", 95, "IN", "1700", "1701"),
+         ("a", "knows", "b", 10, "BF", "1650", "1651"),
+         ("a", "knows", "b", 100, "IN", "1700", "1701")],
+        "left_id string, rel_type string, right_id string, confidence int,"
+        " qualifier string, start_year string, end_year string",
+    )
+    triples, _ = RF.relationship_triples(rels)
+    rows = triples.collect()
+    stmts = {r["subj"] for r in rows if r["pred"].endswith("#subject")}
+    assert len(stmts) == 3
+    empties = [r for r in rows
+               if r["pred"].endswith("descriptiveCertainty") and r["obj_lit"] == ""]
+    assert not empties
