@@ -323,7 +323,7 @@ SELECT conv_id, count(DISTINCT session_n) AS n_sessions, count(*) AS n_turns FRO
   FROM (
     SELECT conv_id, turn_idx, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
-                  OR epoch(ts)::BIGINT - epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx))::BIGINT > 1800
+                  OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)))::BIGINT > 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM transcripts
   ) a
@@ -380,8 +380,8 @@ _KG_SENTINEL_ORACLE = f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n FROM (
   SELECT CASE WHEN trim(l_returnflag) IN {_SENTINELS_SQL} THEN NULL ELSE l_returnflag END AS l_returnflag,
          l_linestatus,
-         CASE WHEN trim(CAST(CAST(l_quantity AS INT) AS VARCHAR)) IN {_SENTINELS_SQL} THEN NULL
-              ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END AS q
+         CASE WHEN trim(CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR)) IN {_SENTINELS_SQL} THEN NULL
+              ELSE CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR) END AS q
   FROM lineitem
 ) a WHERE l_returnflag IS NOT NULL AND q IS NOT NULL
 GROUP BY l_returnflag, l_linestatus
@@ -440,7 +440,7 @@ SELECT bucket, count(*) AS n FROM (
               WHEN p <= 79 THEN 'likely '
               WHEN p <= 99 THEN 'very likely '
               ELSE '' END AS bucket
-  FROM (SELECT cast(floor(value * 100) AS int) % 101 AS p FROM events) a
+  FROM (SELECT ((cast(floor(value * 100) AS int) % 101) + 101) % 101 AS p FROM events) a
 ) b GROUP BY bucket
 """
 
@@ -480,7 +480,6 @@ FROM (
 ) b
 """
 
-_QUAL_ARRAY = "('BF','AF','BF/IN','AF/IN','IN','CA')"
 
 
 # kg_qualifier_bounds — F17 BF/AF/IN/CA via functions.dates.qualifier_bounds
@@ -1576,6 +1575,13 @@ def _pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anything2rdf_spark.sources import synth
 
     wh = tempfile.mkdtemp(prefix="a2r_wh_")
+    # the returned DataFrame reads the warehouse parquet lazily, so cleanup
+    # must wait for process exit — without it every verify/bench sweep
+    # leaks a full materialized checkpoint tree into $TMPDIR
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
     p = Pipeline(spark, wh, n_buckets=8)
     p.run(
         transcripts=synth.transcripts(spark, n_convs=50, seed=42),
@@ -1764,6 +1770,10 @@ def _pipeline_pred_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir)
     wh = tempfile.mkdtemp(prefix="a2r_ppc_wh_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)  # see _pipeline_spark
     p = Pipeline(spark, wh, n_buckets=8)
     p.run(
         transcripts=spark.table("transcripts"),
@@ -2185,7 +2195,10 @@ def _ensure_reader_fixtures() -> str:
         p = os.path.join(d, rel)
         if os.path.exists(p):
             return
-        tmp = p + ".tmp"
+        # per-process tmp name: concurrent harness processes doing first-run
+        # import must not interleave writes into one shared tmp file (the
+        # os.replace at the end stays atomic either way)
+        tmp = f"{p}.tmp.{os.getpid()}"
         if rel.endswith(".gz"):
             with gzip.open(tmp, "wt", encoding="utf-8") as f:
                 f.write(data)
@@ -2339,8 +2352,12 @@ def _kg_scalar2_spark(spark: SparkSession) -> DataFrame:
             iri.encode("raw").alias("enc"),
             iri.iri_fix("iricand").alias("fixed"),
             TX.nfc_normalize("dec").alias("nfc"),
-            F.col("g.lat").alias("lat"),
-            F.col("g.lon").alias("lon"),
+            # rounded on BOTH engines: numpy's sinh/cosh vs the oracle's
+            # exp/ln re-expression agree only to ~1e-13, so raw doubles are
+            # bit-unequal and survive the gate only via the comparator's
+            # float rounding — round explicitly like cosine_sim does
+            F.round(F.col("g.lat"), 9).alias("lat"),
+            F.round(F.col("g.lon"), 9).alias("lon"),
         )
     )
 
@@ -2398,8 +2415,8 @@ SELECT pid,
        {chain('raw', _ENC_MAP)} AS enc,
        {chain('iricand', _IRIFIX_MAP)} AS fixed,
        nfc_normalize(dec) AS nfc,
-       degrees(phi6) AS lat,
-       degrees({lon0} + atan({sh('eta1')}/cos(zeta1))) AS lon
+       round(degrees(phi6), 9) AS lat,
+       round(degrees({lon0} + atan({sh('eta1')}/cos(zeta1))), 9) AS lon
 FROM i6
 """
 

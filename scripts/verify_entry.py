@@ -10,7 +10,9 @@ from __future__ import annotations
 import sys
 import traceback
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
@@ -44,6 +46,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd subset must not yield a vacuous green gate
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -86,6 +94,8 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"ok   {name}: {len(srows)} rows match")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows on both engines — gate is vacuous")
     print(f"\n{failures} failures")
     spark.stop()
     sys.exit(1 if failures else 0)
