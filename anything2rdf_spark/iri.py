@@ -108,8 +108,18 @@ def mint_hashed(kind: str, *keys: Column | str, ns: str = NS) -> Column:
     long or too sensitive to embed verbatim (time-span IRIs keyed on their own
     bounds, Anything2RDF.scala:33; reified-statement IRIs keyed on
     (s,p,o,qualifier), SURVEY §2.10 G3). sha2/256 is deterministic and
-    collision-safe at 10^12 keys (xxhash64 is not: birthday bound ~2^32)."""
-    key = F.concat_ws("\x1f", *[_col(k).cast("string") for k in keys])
+    collision-safe at 10^12 keys (xxhash64 is not: birthday bound ~2^32).
+
+    NULL components are coalesced to a '\\x00' sentinel BEFORE concat_ws:
+    concat_ws silently drops NULLs, so without the sentinel two keys that
+    differ only in WHICH field is null (start=1771/end=NULL vs
+    start=NULL/end=1771) would collapse to the same hash and merge
+    contradictory qualifiers onto one statement. The sentinel keeps NULL
+    distinct from '' and position-stable. DuckDB mirror:
+    ``coalesce(CAST(x AS VARCHAR), chr(0))`` joined with ``chr(31)``."""
+    key = F.concat_ws(
+        "\x1f", *[F.coalesce(_col(k).cast("string"), F.lit("\x00")) for k in keys]
+    )
     return F.concat(F.lit(ns + kind + "_"), F.sha2(key, 256).substr(1, 32))
 
 

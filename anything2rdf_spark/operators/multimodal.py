@@ -240,17 +240,34 @@ def portable_decoder(payload: bytes, kind: str) -> list[float]:
     return [b / 255.0 for b in d[:8]]
 
 
-def extract_features(df: DataFrame, decoder=fake_decoder) -> DataFrame:
+def extract_features(df: DataFrame, decoder=fake_decoder, strict: bool = False) -> DataFrame:
     """Binary payloads → fixed-size feature vectors via Arrow-batched
     ``mapInPandas``. Column pruning matters: only (media_id, kind, payload)
-    are read from the scan."""
+    are read from the scan.
+
+    Quarantine-not-crash (same convention as the MARC resync and sink
+    null-line drop): a corrupt/truncated payload that makes the decoder
+    raise (zlib error, struct.unpack, IndexError, ...) yields an EMPTY
+    feature vector instead of failing the whole job — at corpus scale one
+    bad blob must not kill a 100 TB pass. ``strict=True`` restores
+    fail-fast. ``NotImplementedError`` always propagates: it means a codec
+    is missing (configuration error), not that one payload is bad."""
+
+    def decode_one(p, k):
+        if p is None:
+            return []
+        try:
+            return decoder(p, k)
+        except NotImplementedError:
+            raise
+        except Exception:
+            if strict:
+                raise
+            return []
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decoder(p, k) if p is not None else []
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            feats = [decode_one(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

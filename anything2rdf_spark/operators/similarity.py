@@ -237,7 +237,13 @@ def embedding_neardup_pairs(
     ``max_bucket`` guards the self-join against a degenerate hot bucket
     (quadratic in bucket size): rows in buckets above the cap are excluded
     from pairing (``None`` disables). ``log_dropped`` runs one small extra
-    job to log the dropped buckets."""
+    job to log the dropped buckets.
+
+    When ``max_bucket`` is set the signature table is persisted (it feeds
+    the count, anti-join, and both self-join sides); the handle is attached
+    to the returned DataFrame — call :func:`release_persisted` on the result
+    after materializing it, or the cached blocks live until GC in a
+    long-lived session."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sig_expr = (
@@ -265,10 +271,12 @@ def embedding_neardup_pairs(
                     len(dropped), max_bucket,
                     [(r["b"], r["bucket_rows"]) for r in dropped[:10]],
                 )
-        sig = cap_buckets(sig, ["b"], max_bucket)
-    return (
-        sig.alias("l")
-        .join(sig.alias("r"), (F.col("l.b") == F.col("r.b")) & (F.col("l.id") < F.col("r.id")))
+        capped = cap_buckets(sig, ["b"], max_bucket)
+    else:
+        capped = sig
+    pairs = (
+        capped.alias("l")
+        .join(capped.alias("r"), (F.col("l.b") == F.col("r.b")) & (F.col("l.id") < F.col("r.id")))
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
@@ -278,6 +286,21 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    if max_bucket is not None:
+        pairs._persisted_deps = [sig]  # released via release_persisted(pairs)
+    return pairs
+
+
+def release_persisted(df: DataFrame) -> DataFrame:
+    """Unpersist cached dependency DataFrames an operator in this module
+    attached to its result (e.g. the signature table
+    ``embedding_neardup_pairs`` persists when ``max_bucket`` is set). Call
+    AFTER the result has been materialized (collected / written) — earlier
+    and the cache is simply rebuilt on next use. No-op for DataFrames
+    without attached deps; returns ``df`` for chaining."""
+    for dep in getattr(df, "_persisted_deps", []):
+        dep.unpersist()
+    return df
 
 
 # --- IVF (inverted-file) ANN: coarse spherical-kmeans quantizer ------------

@@ -167,3 +167,28 @@ def test_stdlib_decoder_through_spark(spark):
             MM.MEDIA_SCHEMA,
         )
         MM.extract_features(bad, decoder=MM.stdlib_decoder).collect()
+
+
+def test_corrupt_payload_quarantined_not_crash(spark):
+    """A truncated/corrupt PNG or WAV raises inside the stdlib decoder;
+    extract_features quarantines it to an empty feature vector instead of
+    failing the job (ADVICE r4), keeping n_bytes for triage. strict=True
+    restores fail-fast; missing-codec NotImplementedError still propagates
+    (tested above)."""
+    import numpy as np
+
+    px = (np.arange(4 * 4 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(4, 4, 3)
+    good_png = _make_png(px, filters=[0, 0, 0, 0])
+    corrupt_png = good_png[:40] + b"\x00" * 8 + good_png[48:]  # mangle IDAT zlib
+    truncated_wav = _make_wav()[:16]
+    rows = [("ok", "image", "image/png", good_png, None),
+            ("bad1", "image", "image/png", corrupt_png, None),
+            ("bad2", "audio", "audio/wav", truncated_wav, None)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.extract_features(df, decoder=MM.stdlib_decoder).collect()}
+    assert len(got["ok"]["feature"]) == 8
+    assert list(got["bad1"]["feature"]) == [] and list(got["bad2"]["feature"]) == []
+    assert got["bad1"]["n_bytes"] == len(corrupt_png)
+    with pytest.raises(Exception):
+        MM.extract_features(df, decoder=MM.stdlib_decoder, strict=True).collect()

@@ -136,3 +136,20 @@ def test_ivf_partial_probe_recall(spark):
     assert recall >= 0.2
     for qid in range(6):
         assert (qid, qid) in got  # self-hit guaranteed
+
+
+def test_neardup_release_persisted(spark):
+    """max_bucket persists the signature table; release_persisted on the
+    materialized result unpersists it (ADVICE r4: cached blocks must not
+    accumulate across repeated calls in a long-lived session)."""
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = SM.embedding_neardup_pairs(df, threshold=0.99, n_planes=4, max_bucket=10)
+    pairs.collect()
+    deps = getattr(pairs, "_persisted_deps", [])
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    out = SM.release_persisted(pairs)
+    assert out is pairs
+    assert all(not d.storageLevel.useMemory for d in deps)
+    # no-op on a DataFrame without attached deps
+    SM.release_persisted(df)
