@@ -1146,6 +1146,17 @@ _LANGID_FIXTURE_ROWS = [
     ("ve bu bir ev için ile olarak da ne gibi çok güzel ve bu bir gün",),
     ("yang dan di itu dengan untuk tidak ini dari akan rumah yang dan di sana",),
     ("zzz qqq xyzzy plugh",),
+    # script-stage fixtures (r5): one sentence per script-decided language —
+    # the stopword argmax is blind to all of these
+    ("这是一个关于语言识别的中文句子，没有任何假名。",),                      # zh: Han only
+    ("これは日本語のテストです。漢字と仮名が混ざっています。",),              # ja: kana+Han
+    ("이것은 한국어 문장입니다 언어 식별 테스트",),                          # ko: Hangul
+    ("هذه جملة باللغة العربية لاختبار تحديد اللغة",),                        # ar: Arabic
+    ("это предложение на русском языке для проверки определения языка",),   # ru: Cyrillic
+    ("αυτή είναι μια ελληνική πρόταση για τον προσδιορισμό της γλώσσας",),  # el: Greek
+    # Latin-majority text merely QUOTING a CJK char must not take the
+    # script branch (the strict-majority gate) — stays 'en'
+    ("the word 中 appears once but the rest of the sentence is english and the gate holds",),
 ]
 
 
@@ -1160,22 +1171,52 @@ def _langid_spark(spark: SparkSession) -> DataFrame:
 
 
 def _langid_counts_case() -> tuple[str, str]:
-    """(per-language stopword-hit count exprs over a ``toks`` column,
-    argmax CASE over those counts) — shared by the langid and curation
-    oracles so both stay generated from TS.STOPWORDS."""
+    """(count exprs over ``toks`` + raw ``text`` columns, two-stage lang_id
+    CASE over those counts) — shared by the langid and curation oracles so
+    both stay generated from TS.STOPWORDS / TS.SCRIPT_CLASSES. Mirrors
+    TS.lang_id exactly: script-majority gate → script argmax (ja scores
+    kana+han gated on kana>0), else stopword argmax with 'und' fallback."""
     langs = sorted(TS.STOPWORDS)
     counts = ",\n     ".join(
-        "len(list_filter(toks, t -> t <> '' AND list_contains(["
-        + ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
-        + f"], t))) AS c_{lang}"
-        for lang in langs
+        [
+            "len(list_filter(toks, t -> t <> '' AND list_contains(["
+            + ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+            + f"], t))) AS c_{lang}"
+            for lang in langs
+        ]
+        + [
+            f"len(regexp_extract_all(text, '[{re2}]')) AS s_{name}"
+            for name, _, re2 in TS.SCRIPT_CLASSES
+        ]
+        + [r"len(regexp_extract_all(text, '\p{L}')) AS s_letters"]
     )
     all_c = ", ".join(f"c_{lang}" for lang in langs)
-    case = f"CASE WHEN greatest({all_c}) = 0 THEN 'und'\n"
+    stop_case = f"CASE WHEN greatest({all_c}) = 0 THEN 'und'\n"
     for i, lang in enumerate(langs[:-1]):
         conds = " AND ".join(f"c_{lang} >= c_{later}" for later in langs[i + 1 :])
-        case += f"            WHEN {conds} THEN '{lang}'\n"
-    case += f"            ELSE '{langs[-1]}' END"
+        stop_case += f"            WHEN {conds} THEN '{lang}'\n"
+    stop_case += f"            ELSE '{langs[-1]}' END"
+    score_sql = {
+        "ja": "CASE WHEN s_kana > 0 THEN s_kana + s_han ELSE 0 END",
+        "zh": "s_han",
+        "ko": "s_hangul",
+        "ar": "s_arabic",
+        "ru": "s_cyrillic",
+        "el": "s_greek",
+    }
+    sl = TS.SCRIPT_LANGS
+    script_case = "CASE "
+    for i, lang in enumerate(sl[:-1]):
+        conds = " AND ".join(
+            f"({score_sql[lang]}) >= ({score_sql[later]})" for later in sl[i + 1 :]
+        )
+        script_case += f"WHEN {conds} THEN '{lang}'\n            "
+    script_case += f"ELSE '{sl[-1]}' END"
+    n_script = " + ".join(f"s_{name}" for name, _, _ in TS.SCRIPT_CLASSES)
+    case = (
+        f"CASE WHEN 2 * ({n_script}) > s_letters THEN ({script_case})\n"
+        f"            ELSE ({stop_case}) END"
+    )
     return counts, case
 
 
@@ -1187,7 +1228,7 @@ SELECT lang_guess, count(*) AS n FROM (
   SELECT {case} AS lang_guess
   FROM (
     SELECT {counts}
-    FROM (SELECT regexp_split_to_array(lower(text), '[^\p{{L}}]+') AS toks
+    FROM (SELECT regexp_split_to_array(lower(text), '[^\p{{L}}]+') AS toks, text
           FROM (SELECT text FROM documents
                 UNION ALL SELECT text FROM {fixture}) src) x
   ) y

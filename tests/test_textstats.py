@@ -334,3 +334,26 @@ def test_hash_split_edge_cases(spark):
     neg = spark.createDataFrame([(-5, "a b c"), (-13, "d e")], "doc_id long, text string")
     rows = pack_documents(neg, max_tokens=4, n_buckets=8).collect()
     assert all(0 <= r["bucket"] < 8 for r in rows)
+
+
+def test_lang_id_script_stage(spark):
+    """Unsegmented / non-Latin scripts are decided by the script-counting
+    pre-stage (r4 verdict: the stopword argmax is structurally blind to
+    them): kana→ja even though Han chars co-occur, pure Han→zh,
+    Hangul→ko, Arabic→ar, Cyrillic→ru, Greek→el. A Latin-majority
+    sentence quoting one CJK char must NOT take the script branch."""
+    from anything2rdf_spark.operators import textstats as TS
+
+    rows = [
+        ("这是一个中文句子，没有任何假名。", "zh"),
+        ("これは日本語のテストです。漢字と仮名が混ざっています。", "ja"),
+        ("이것은 한국어 문장입니다", "ko"),
+        ("هذه جملة باللغة العربية", "ar"),
+        ("это предложение на русском языке", "ru"),
+        ("αυτή είναι μια ελληνική πρόταση", "el"),
+        ("the word 中 appears once but the rest is english and the gate holds the line", "en"),
+        ("zzz qqq xyzzy plugh", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["g"] for r in df.select(TS.lang_id("text").alias("g")).collect()]
+    assert got == [want for _, want in rows]
