@@ -3059,6 +3059,86 @@ FROM (
 GROUP BY para_hash
 """
 
+# substring_dedup — dedupe.substring_duplicate_spans (Lee et al. 2022
+# substring dedup, winnowing-style content-defined sampling so copies at
+# ANY offset are found — a positional grid only catches stride-aligned
+# copies). Fixture: a planted 200-char span shared by docs 1/2 at offsets
+# whose difference (260) is NOT a multiple of the stride (16), an
+# unrelated doc, and a 150-char boilerplate block shared by four docs that
+# the max_df=3 cap must exclude from pairing.
+def _ss_noise(tag: str, n: int) -> str:
+    import hashlib
+
+    out: list[str] = []
+    i = 0
+    while sum(map(len, out)) < n:
+        out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest())
+        i += 1
+    return "".join(out)[:n]
+
+
+_SS_SPAN = _ss_noise("span", 200)
+_SS_BOILER = _ss_noise("boiler", 150)
+_SUBSTR_FIXTURE_ROWS = [
+    (1, _ss_noise("a", 313) + _SS_SPAN + _ss_noise("a2", 91)),
+    (2, _ss_noise("b", 53) + _SS_SPAN + _ss_noise("b2", 400)),
+    (3, _ss_noise("c", 500)),
+    (4, _ss_noise("d", 100) + _SS_BOILER + _ss_noise("d2", 100)),
+    (5, _ss_noise("e", 100) + _SS_BOILER + _ss_noise("e2", 100)),
+    (6, _ss_noise("f", 100) + _SS_BOILER + _ss_noise("f2", 100)),
+    (7, _ss_noise("g", 100) + _SS_BOILER + _ss_noise("g2", 100)),
+]
+_SS_K, _SS_STRIDE, _SS_MAXDF = 32, 16, 3
+
+
+def _substr_dedup_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_SUBSTR_FIXTURE_ROWS, "doc_id long, text string")
+    return DD.substring_duplicate_spans(
+        fixture, shingle_len=_SS_K, stride=_SS_STRIDE, max_df=_SS_MAXDF
+    )
+
+
+_SUBSTR_ORACLE = rf"""
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+              FROM {_sql_values(_SUBSTR_FIXTURE_ROWS, 'doc_id, text')}),
+sh0 AS (
+  SELECT doc_id AS id, pos, substr(text, pos, {_SS_K}) AS sh
+  FROM (
+    SELECT doc_id, text,
+           unnest(list_filter(generate_series(1, len(text) - {_SS_K} + 1),
+                  i -> substr(md5(substr(text, i, {_SS_K})), 1, 2)
+                       < '{format(256 // _SS_STRIDE, "02x")}')) AS pos
+    FROM docs
+  )
+),
+hot AS (
+  SELECT sh FROM (SELECT sh, count(DISTINCT id) AS df FROM sh0 GROUP BY sh)
+  WHERE df > {_SS_MAXDF}
+),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+pairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b, l.pos AS pos_a, l.pos - r.pos AS diag
+  FROM sh l JOIN sh r ON l.sh = r.sh AND l.id < r.id
+),
+lagd AS (
+  SELECT a, b, diag, pos_a,
+         CASE WHEN lag(pos_a) OVER w IS NULL
+                OR pos_a - lag(pos_a) OVER w > {8 * _SS_STRIDE}
+              THEN 1 ELSE 0 END AS new_run
+  FROM pairs
+  WINDOW w AS (PARTITION BY a, b, diag ORDER BY pos_a)
+),
+runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY a, b, diag ORDER BY pos_a
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM lagd
+)
+SELECT a, b, min(pos_a) AS a_start, min(pos_a) - diag AS b_start,
+       max(pos_a) - min(pos_a) + {_SS_K} AS span_len
+FROM runs GROUP BY a, b, diag, run_id
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3068,6 +3148,8 @@ _EXTRAS_SUITE = [
     # curation.hash_split — deterministic train/val/test assignment by
     # seeded portable hash; oracle recomputes the md5_60 boundary CASE
     ("hash_split", _split_assign_spark),
+    # dedupe.substring_duplicate_spans — Lee et al. 2022 substring dedup
+    ("substring_dedup", _substr_dedup_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3076,6 +3158,8 @@ _EXTRAS_SUITE_ORACLE = [
      ["para_hash", "n_docs", "n_total", "canonical_doc"]),
     ("doc_packing", _PACKING_ORACLE, ["doc_id", "n_tokens", "bucket", "pack_id"]),
     ("hash_split", _SPLIT_ASSIGN_ORACLE, ["doc_id", "split"]),
+    ("substring_dedup", _SUBSTR_ORACLE,
+     ["a", "b", "a_start", "b_start", "span_len"]),
 ]
 
 

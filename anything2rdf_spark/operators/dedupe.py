@@ -426,3 +426,115 @@ def paragraph_duplicates(
             F.min("doc_id").alias("canonical_doc"),
         )
     )
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 64,
+    stride: int = 16,
+    max_df: int | None = 1000,
+    min_span: int | None = None,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Cross-document verbatim substring spans — the scale-shaped
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; the exact
+    method builds a corpus-wide suffix array, which does not distribute).
+
+    Shingle positions are CONTENT-DEFINED (winnowing-family selection,
+    Schleimer et al. SIGMOD'03): a fixed-length character shingle is
+    sampled wherever the 2-hex-char prefix of md5(shingle) falls below
+    256/stride — expected density 1/stride, and, critically,
+    alignment-invariant: a fixed positional grid would only detect copies
+    whose offset difference is a multiple of the stride, while a predicate
+    on the shingle's own content selects the SAME relative positions inside
+    any verbatim copy of a span regardless of where it lands. Two documents
+    sharing a span of s chars then share a sampled shingle on a common
+    alignment diagonal with probability 1 - (1-1/stride)^(s-shingle_len+1)
+    (≈ 99.98%% for a 200-char span at the defaults); adjacent collisions on
+    one diagonal (gap <= max_gap, default 8*stride — geometric-tail split
+    probability ~3e-4 per probe) merge into one maximal run. Reported
+    spans are lower bounds on the true shared extent. Deterministic given
+    content; md5 is used (not xxhash64) because every SQL engine computes
+    the identical hex digest, keeping the operator oracle-checkable.
+
+    Plan at scale: selection runs INSIDE the scan as one array expression
+    (sequence -> filter on md5 prefix) — only selected positions are ever
+    exploded into rows, so the shuffle moves ~len/stride rows per doc, not
+    one per character. The cross-document equi-join is bucketed by shingle
+    value with document frequency capped at ``max_df`` first (a boilerplate
+    shingle in 10^6 docs would otherwise join quadratically — same
+    default-on cap semantics as ngram_jaccard_pairs); run-merging windows
+    partition on (doc_a, doc_b, diagonal), bounded by doc_len/stride,
+    never by corpus size.
+
+    Returns (a, b, a_start, b_start, span_len) with a < b, 1-based starts,
+    one row per maximal run; ``min_span`` filters short spans (default:
+    keep all, i.e. >= shingle_len).
+    """
+    if 256 % stride != 0 or not 2 <= stride <= 256:
+        raise ValueError("stride must be a power of two in [2, 256] (hex-prefix selector)")
+    sel_threshold = format(256 // stride, "02x")
+    if max_gap is None:
+        max_gap = 8 * stride
+    n = F.length(F.col(text_col))
+    positions = F.when(
+        n >= shingle_len,
+        F.filter(
+            F.sequence(F.lit(1), n - shingle_len + 1),
+            lambda i: F.substring(
+                F.md5(F.substring(F.col(text_col), i, F.lit(shingle_len))), 1, 2
+            )
+            < sel_threshold,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        F.explode(positions).alias("pos"),
+    ).select(
+        "id", "pos", F.substring(F.col("_t"), F.col("pos"), F.lit(shingle_len)).alias("sh")
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.countDistinct("id").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    pairs = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.pos").alias("pos_a"),
+            (F.col("l.pos") - F.col("r.pos")).alias("diag"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("a", "b", "diag").orderBy("pos_a")
+    gap = F.col("pos_a") - F.lag("pos_a").over(w)
+    runs = pairs.withColumn(
+        "_new", F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
+    ).withColumn("run_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    out = (
+        runs.groupBy("a", "b", "diag", "run_id")
+        .agg(F.min("pos_a").alias("a_start"), F.max("pos_a").alias("_last"))
+        .select(
+            "a",
+            "b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("_last") - F.col("a_start") + shingle_len).alias("span_len"),
+        )
+    )
+    if min_span is not None:
+        out = out.filter(F.col("span_len") >= min_span)
+    return out

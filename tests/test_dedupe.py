@@ -204,3 +204,53 @@ def test_paragraph_duplicates(spark):
     assert (r["n_docs"], r["n_total"], r["canonical_doc"]) == (3, 3, 1)
     # 4 distinct unique paragraphs besides the shared one
     assert len(rows_out) == 5
+
+
+def test_substring_duplicate_spans(spark):
+    """Content-defined sampling finds a planted 200-char cross-document
+    span even when the offset difference is NOT a multiple of the stride
+    (a positional grid would miss it); unrelated docs yield no pairs;
+    texts shorter than the shingle survive (sequence guard); the max_df
+    cap excludes boilerplate shared by too many docs."""
+    import hashlib
+
+    from anything2rdf_spark.operators.dedupe import substring_duplicate_spans
+
+    def noise(tag, n):
+        out, i = [], 0
+        while sum(map(len, out)) < n:
+            out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    span = noise("s", 200)
+    boiler = noise("bp", 150)
+    rows = [
+        (1, noise("a", 313) + span + noise("a2", 91)),   # span at 314
+        (2, noise("b", 53) + span + noise("b2", 400)),   # span at 54, diag 260 % 16 != 0
+        (3, noise("c", 500)),                            # unrelated
+        (8, "tiny"),                                     # shorter than shingle
+        (4, noise("d", 100) + boiler + noise("d2", 100)),
+        (5, noise("e", 100) + boiler + noise("e2", 100)),
+        (6, noise("f", 100) + boiler + noise("f2", 100)),
+        (7, noise("g", 100) + boiler + noise("g2", 100)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_duplicate_spans(df, shingle_len=32, stride=16, max_df=3).collect()
+    got = {(r["a"], r["b"]): r for r in out}
+    assert set(got) == {(1, 2)}  # boilerplate pairs capped away, no spurious pairs
+    r = got[(1, 2)]
+    assert r["a_start"] - r["b_start"] == 260  # true diagonal recovered
+    assert 314 <= r["a_start"] <= 314 + 199 - 32  # start inside the span
+    assert 32 <= r["span_len"] <= 200            # lower bound on true extent
+    # without the cap the boilerplate pairs appear on their own diagonal
+    uncapped = substring_duplicate_spans(df, shingle_len=32, stride=16, max_df=None)
+    pairs = {(r["a"], r["b"]) for r in uncapped.collect()}
+    assert (4, 5) in pairs and (1, 2) in pairs
+    # deterministic under repartition
+    out2 = substring_duplicate_spans(
+        df.repartition(7), shingle_len=32, stride=16, max_df=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with pytest.raises(ValueError):
+        substring_duplicate_spans(df, stride=10)
