@@ -1380,23 +1380,33 @@ def _sim_lsh_recall_spark(spark: SparkSession) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = SM.cosine_topk(emb, queries, k=5, order_round=6).select("query_id", "vec_id")
-    ann = SM.lsh_topk(
-        emb, queries, k=5, n_planes=6, dim=64, signature="grid",
-        order_round=6, multi_probe=1,
-    ).select("query_id", "vec_id")
-    hits = (
-        exact.join(ann, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("hits"))
-    )
-    h = F.coalesce(F.col("hits"), F.lit(0))
+
+    def hits_at(probe: int, name: str) -> DataFrame:
+        ann = SM.lsh_topk(
+            emb, queries, k=5, n_planes=6, dim=64, signature="grid",
+            order_round=6, multi_probe=probe,
+        ).select("query_id", "vec_id")
+        return (
+            exact.join(ann, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    h1 = F.coalesce(F.col("hits_p1"), F.lit(0))
+    h2 = F.coalesce(F.col("hits_p2"), F.lit(0))
     return (
         queries.select("query_id")
-        .join(hits, "query_id", "left")
+        .join(hits_at(1, "hits_p1"), "query_id", "left")
+        .join(hits_at(2, "hits_p2"), "query_id", "left")
         .select(
             "query_id",
-            h.cast("int").alias("hits"),
-            F.round(h.cast("double") / 5.0, 2).alias("recall_at_5"),
+            h1.cast("int").alias("hits_p1"),
+            F.round(h1.cast("double") / 5.0, 2).alias("recall_p1"),
+            h2.cast("int").alias("hits_p2"),
+            F.round(h2.cast("double") / 5.0, 2).alias("recall_p2"),
+            # provable from candidate-set inclusion under the shared total
+            # order — asserting it in the gated row keeps it measured
+            (h2 >= h1).alias("monotone"),
         )
     )
 
@@ -1415,11 +1425,18 @@ exact AS (
 ),
 cs AS (SELECT vec_id, v, {_grid_sig_sql('v', 6)} AS sig FROM c),
 qs AS (SELECT query_id, qv, {_grid_sig_sql('qv', 6)} AS sig FROM q),
-qprobes AS (
+qprobes1 AS (
   SELECT query_id, qv, p AS sig
   FROM qs, unnest([sig, {', '.join(f'xor(sig, {1 << j}::BIGINT)' for j in range(6))}]) AS t(p)
 ),
-ann AS (
+qprobes2 AS (
+  SELECT query_id, qv, p AS sig
+  FROM qs, unnest([sig,
+    {', '.join(f'xor(sig, {1 << j}::BIGINT)' for j in range(6))},
+    {', '.join(f'xor(sig, {(1 << i) | (1 << j)}::BIGINT)' for i in range(6) for j in range(i + 1, 6))}
+  ]) AS t(p)
+),
+ann1 AS (
   SELECT query_id, vec_id FROM (
     SELECT s.query_id, s.vec_id,
            row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.cos, 6) DESC, s.vec_id) AS rank
@@ -1427,18 +1444,41 @@ ann AS (
       SELECT qp.query_id, cs.vec_id,
              list_inner_product(cs.v, qp.qv)
              / (sqrt(list_inner_product(cs.v, cs.v)) * sqrt(list_inner_product(qp.qv, qp.qv))) AS cos
-      FROM cs JOIN qprobes qp ON cs.sig = qp.sig
+      FROM cs JOIN qprobes1 qp ON cs.sig = qp.sig
     ) s
   ) t WHERE rank <= 5
 ),
-hits AS (
+ann2 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.cos, 6) DESC, s.vec_id) AS rank
+    FROM (
+      SELECT qp.query_id, cs.vec_id,
+             list_inner_product(cs.v, qp.qv)
+             / (sqrt(list_inner_product(cs.v, cs.v)) * sqrt(list_inner_product(qp.qv, qp.qv))) AS cos
+      FROM cs JOIN qprobes2 qp ON cs.sig = qp.sig
+    ) s
+  ) t WHERE rank <= 5
+),
+hits1 AS (
   SELECT e.query_id, count(*) AS hits
-  FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  FROM exact e JOIN ann1 a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY e.query_id
+),
+hits2 AS (
+  SELECT e.query_id, count(*) AS hits
+  FROM exact e JOIN ann2 a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
   GROUP BY e.query_id
 )
-SELECT qq.query_id, CAST(coalesce(h.hits, 0) AS INT) AS hits,
-       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0, 2) AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hits h USING (query_id)
+SELECT qq.query_id,
+       CAST(coalesce(h1.hits, 0) AS INT) AS hits_p1,
+       round(CAST(coalesce(h1.hits, 0) AS DOUBLE) / 5.0, 2) AS recall_p1,
+       CAST(coalesce(h2.hits, 0) AS INT) AS hits_p2,
+       round(CAST(coalesce(h2.hits, 0) AS DOUBLE) / 5.0, 2) AS recall_p2,
+       coalesce(h2.hits, 0) >= coalesce(h1.hits, 0) AS monotone
+FROM (SELECT DISTINCT query_id FROM q) qq
+LEFT JOIN hits1 h1 USING (query_id)
+LEFT JOIN hits2 h2 USING (query_id)
 """
 
 

@@ -150,13 +150,19 @@ def lsh_topk(
     ``multi_probe=1`` additionally probes every bucket at Hamming distance 1
     from the query's signature (n_planes extra buckets per query — queries
     are the broadcast side, so the fan-out is dimension-sized): the standard
-    recall/probe-cost dial (Lv et al., multi-probe LSH, VLDB'07)."""
+    recall/probe-cost dial (Lv et al., multi-probe LSH, VLDB'07).
+    ``multi_probe=2`` adds the distance-2 buckets too (n_planes choose 2
+    more — still dimension-sized on the broadcast side); its candidate set
+    strictly contains the distance-1 set, so recall is monotone in the
+    probe radius."""
     from pyspark.sql import Window as W
 
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
-    if multi_probe not in (0, 1):
-        raise ValueError("multi_probe supports 0 (exact bucket) or 1 (1-bit flips)")
+    if multi_probe not in (0, 1, 2):
+        raise ValueError(
+            "multi_probe supports 0 (exact bucket), 1 (1-bit flips), or 2 (+2-bit flips)"
+        )
     sig_expr = (
         lsh_signature_grid(vec_col, dim, n_planes)
         if signature == "grid"
@@ -173,9 +179,18 @@ def lsh_topk(
         F.col(query_id_col), F.col(vec_col).alias("_qvec"), sig_expr.alias("_sig"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
-    if multi_probe == 1:
+    masks: list[int] = []
+    if multi_probe >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if multi_probe >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    if masks:
+        # all masks are distinct, so the probe values are distinct and each
+        # (query, corpus) pair joins at most once — no post-join dedup
         probes = F.array(
-            F.col("_sig"), *[F.col("_sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+            F.col("_sig"), *[F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks]
         )
         qsig = qsig.select(query_id_col, "_qvec", "_qn", F.explode(probes).alias("_b"))
     else:

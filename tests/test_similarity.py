@@ -74,9 +74,10 @@ def test_embedding_neardup_pairs(spark):
 
 
 def test_multi_probe_recall_not_worse(spark):
-    """multi_probe=1 probes the n_planes Hamming-1 buckets too: its
-    candidate set strictly contains the single-probe set, so per-query
-    recall against the exact top-k can only improve."""
+    """multi_probe=1 probes the n_planes Hamming-1 buckets, multi_probe=2 the
+    Hamming-2 buckets too: each candidate set strictly contains the
+    previous, so per-query recall against the exact top-k is monotone in
+    the probe radius."""
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
@@ -98,9 +99,11 @@ def test_multi_probe_recall_not_worse(spark):
         }
         return len(ann & exact) / len(exact)
 
-    r0, r1 = recall(0), recall(1)
-    assert 0.0 <= r0 <= r1 <= 1.0
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert 0.0 <= r0 <= r1 <= r2 <= 1.0
     assert r1 > 0.2  # every query finds itself plus near neighbors
+    with pytest.raises(ValueError):
+        SM.lsh_topk(emb, queries, k=5, n_planes=6, dim=64, multi_probe=3)
 
 
 def test_ivf_topk_exact_when_probing_all(spark):
