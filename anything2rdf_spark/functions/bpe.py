@@ -1,0 +1,154 @@
+"""Real byte-pair-encoding tokenization (Sennrich et al. ACL 2016; the
+greedy lowest-rank-first merge loop popularized by GPT-2's tokenizer) over
+a SHIPPED merges table — no network, no external tokenizer package.
+
+`bpe_ish_token_count` (textstats.py) stays the cheap native-regex stand-in
+the DuckDB oracle can check; this module is the honest encoder for when the
+count must match a real subword vocabulary: trainable (`train_bpe`), exact
+greedy encoding (`bpe_encode`), and an Arrow-batched Spark column
+(`bpe_token_count`) that ships the ranks table in the UDF closure (a few KB)
+and memoizes per-word encodings per batch — the hot path at corpus scale is
+dict lookups, not merge loops, because natural-language word frequency is
+Zipfian.
+
+DuckDB cannot express the iterative merge loop, so the Spark/oracle gate for
+this operator is the pure-Python reference implementation in pytest
+(test_textstats), not a driver SQL row — the same split the multimodal
+decoders use.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+
+# Pre-tokenizer: GPT-2-shaped word splitting with the leading-space
+# convention (a space belongs to the token it precedes), restricted to the
+# ASCII classes the native BPE_ISH_TOKEN_RE uses so the two counters segment
+# text identically before the subword stage.
+PRETOKEN_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+# End-of-word marker (Sennrich et al. §3.2) — lets merges distinguish
+# word-final from word-internal pairs ("er</w>" vs "er").
+EOW = "</w>"
+
+
+def pretokenize(text: str) -> list[str]:
+    return PRETOKEN_RE.findall(text)
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + EOW,) if word else ()
+
+
+def train_bpe(corpus: str, n_merges: int = 256) -> list[tuple[str, str]]:
+    """Learn a merges table from ``corpus``: repeatedly merge the most
+    frequent adjacent symbol pair (ties broken lexicographically, so
+    training is deterministic on any platform). Classic Sennrich training —
+    O(n_merges * vocab) on the word-frequency table, not on the corpus."""
+    vocab = Counter(_word_symbols(w) for w in pretokenize(corpus) if not w.isspace())
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        best = min(p for p, n in pairs.items() if n == best_n)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: Counter = Counter()
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy encoding: repeatedly apply the LOWEST-RANK applicable merge
+    (GPT-2's loop) until none applies. Deterministic for any ranks table."""
+    syms = list(_word_symbols(word))
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode_text(text: str, ranks: dict[tuple[str, str], int], cache: dict | None = None) -> int:
+    """Token COUNT of ``text`` under the ranks table (whitespace
+    pre-tokens are segmentation only — not counted, matching the
+    BPE_ISH/ws-token convention). ``cache`` memoizes per-word counts."""
+    n = 0
+    for w in pretokenize(text):
+        if w.isspace():
+            continue
+        if cache is not None and w in cache:
+            n += cache[w]
+            continue
+        c = len(bpe_encode(w, ranks))
+        if cache is not None:
+            cache[w] = c
+        n += c
+    return n
+
+
+# A small fixed training corpus (public-domain-style plain English prose,
+# written for this repo) — enough to learn the common English subwords the
+# default table ships with. Determinism of train_bpe makes the default
+# merges identical on every machine.
+DEFAULT_CORPUS = (
+    "the quick brown fox jumps over the lazy dog and runs to the old barn "
+    "in the field where the farmer keeps the tools and the seeds for the "
+    "spring planting season while the children walk along the river bank "
+    "watching the water run under the wooden bridge toward the mill there "
+    "is a long road from the village to the market town and the people "
+    "carry baskets of bread and fruit every morning when the sun rises "
+    "over the eastern hills the light falls on the stone houses and the "
+    "narrow streets fill with the sound of carts and voices trading and "
+    "talking about the weather the harvest and the news from the coast "
+    "reading and writing were taught in the small school near the church "
+    "where the teacher kept books about history nature and the stars"
+)
+
+
+@lru_cache(maxsize=1)
+def default_merges() -> tuple[tuple[str, str], ...]:
+    return tuple(train_bpe(DEFAULT_CORPUS, n_merges=256))
+
+
+def bpe_token_count(text, merges: list[tuple[str, str]] | None = None) -> Column:
+    """Arrow-batched real-BPE token count column. The merges table rides the
+    closure (a few KB broadcast with the task), encodings are memoized
+    per-word within each executor batch — Zipfian word reuse makes the memo
+    hit rate high, so the per-row cost approaches one dict lookup per word."""
+    from pyspark.sql import functions as F
+
+    ranks = {p: i for i, p in enumerate(merges if merges is not None else default_merges())}
+
+    @F.pandas_udf("int")
+    def _count(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        return s.map(lambda t: 0 if t is None else encode_text(t, ranks, cache)).astype("int32")
+
+    return _count(text if isinstance(text, Column) else F.col(text))

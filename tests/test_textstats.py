@@ -357,3 +357,47 @@ def test_lang_id_script_stage(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
     got = [r["g"] for r in df.select(TS.lang_id("text").alias("g")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_bpe_train_and_encode_pure_python():
+    """Real BPE (functions.bpe): deterministic training, greedy encoding
+    sanity — merged subwords appear, encoding is reproducible, and a word
+    never seen in training falls back to characters."""
+    from anything2rdf_spark.functions import bpe
+
+    merges = bpe.train_bpe("low low low lower lowest newer newest", n_merges=20)
+    assert merges == bpe.train_bpe("low low low lower lowest newer newest", n_merges=20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc = bpe.bpe_encode("lowest", ranks)
+    assert "".join(enc).replace(bpe.EOW, "") == "lowest"  # lossless
+    assert len(enc) < len("lowest") + 1  # something actually merged
+    unseen = bpe.bpe_encode("qzxv", ranks)
+    assert unseen == ["q", "z", "x", bpe.EOW and "v" + bpe.EOW]
+    # default table is stable and non-trivial
+    dm = bpe.default_merges()
+    assert len(dm) == 256 and dm == bpe.default_merges()
+
+
+def test_bpe_token_count_spark_matches_python_oracle(spark, docs):
+    """The Arrow-batched UDF must agree with the pure-Python reference on
+    real corpus text (DuckDB cannot express the merge loop, so THIS is the
+    oracle gate for bpe_token_count — same split as the multimodal
+    decoders)."""
+    from anything2rdf_spark.functions import bpe
+
+    sample = docs.limit(40)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in sample.select("doc_id", bpe.bpe_token_count("text").alias("n")).collect()
+    }
+    ranks = {p: i for i, p in enumerate(bpe.default_merges())}
+    for r in sample.collect():
+        assert got[r["doc_id"]] == bpe.encode_text(r["text"], ranks), r["doc_id"]
+    # real BPE compresses vs character count and never undercounts words
+    from pyspark.sql import functions as F
+    row = sample.select(
+        F.sum(bpe.bpe_token_count("text")).alias("bpe"),
+        F.sum(TS.ws_token_count("text")).alias("ws"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    assert row["ws"] <= row["bpe"] <= row["chars"]
