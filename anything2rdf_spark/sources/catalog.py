@@ -7,10 +7,11 @@ partitioned parquet directories with the same layout and falls back
 transparently — the pipeline code is identical either way.
 
 Vendoring attempts (blocked by environment, re-checked every round —
-r4 re-verified 2026-08-17: ``find / -iname '*iceberg*'`` still empty,
-``import pyiceberg`` still fails, DNS still unresolvable for repo1.maven.org
-and the configured pip index — ``pip download pyiceberg`` exhausts retries
-on ``Name or service not known``):
+r5 re-verified 2026-08-17: ``find / -iname '*iceberg*'`` still finds only
+the empty download scratch dir, ``import pyiceberg`` still fails, and the
+configured pip index now answers but serves NO pyiceberg distribution —
+``pip download pyiceberg`` → "Could not find a version that satisfies the
+requirement pyiceberg (from versions: none)"):
 * no ``iceberg-spark-runtime`` jar anywhere on disk
   (``find / -iname '*iceberg*'`` → empty; ``$SPARK_HOME/jars`` has none);
 * no ``pyiceberg`` package installed;

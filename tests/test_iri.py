@@ -66,3 +66,26 @@ def test_valid_iri_accepts_scheme_only_iris(spark):
         iri.valid_iri_or_fallback("c", F.lit("FB")).alias("o")).collect()]
     assert out == ["urn:isbn:0451450523", "mailto:a@b.example",
                    "http://x/ok", "FB", "FB"]
+
+
+def test_mint_hashed_null_components_stay_distinct(spark):
+    """concat_ws silently drops NULLs, so without the \\x00 sentinel two
+    keys differing only in WHICH component is null (1771/NULL vs NULL/1771)
+    would collapse to one statement IRI and merge contradictory qualifiers
+    (r4 ADVICE). NULL must also stay distinct from the empty string."""
+    from pyspark.sql import functions as F
+
+    def mint(a, b):
+        return one(
+            spark,
+            iri.mint_hashed(
+                "stmt",
+                F.lit("s"), F.lit("p"), F.lit("o"),
+                F.lit(a).cast("string"), F.lit(b).cast("string"),
+            ),
+        )
+
+    assert mint("1771", None) != mint(None, "1771")
+    assert mint("1771", None) != mint("1771", "")
+    assert mint(None, None) != mint("", "")
+    assert mint("1771", "1772") == mint("1771", "1772")  # still deterministic
