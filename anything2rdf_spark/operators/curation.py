@@ -31,10 +31,16 @@ def curate_corpus(
     langs: Sequence[str] | None = ("en",),
     min_quality: float = 0.0,
     dedup: bool = True,
+    bpe_tokens: bool = False,
 ) -> DataFrame:
     """Curate a document corpus for training-data use. Returns one row per
     SURVIVING document: (doc_id, lang_guess, quality, ws_tokens,
-    clean_text).
+    clean_text) — plus ``bpe_tokens`` (real-BPE count of the REDACTED
+    text, functions.bpe's Arrow-batched encoder over the shipped default
+    merges table) when ``bpe_tokens=True``; opt-in because it adds the
+    chain's only Python stage (the driver gate keeps the default all-native
+    column set, the BPE column is pytest-gated against the pure-Python
+    reference).
 
     * ``dedup``: keep only the min-id document per normalized content hash
       (exact_duplicates' canonical rule). Computed SKEW-SAFE: a window
@@ -62,13 +68,18 @@ def curate_corpus(
     d = d.withColumn("quality", F.round(quality_score("text"), 6))
     if min_quality > 0.0:
         d = d.filter(F.col("quality") >= min_quality)
-    return d.select(
+    out = d.select(
         "doc_id",
         "lang_guess",
         "quality",
         ws_token_count("text").alias("ws_tokens"),
         redact_pii("text").alias("clean_text"),
     )
+    if bpe_tokens:
+        from ..functions.bpe import bpe_token_count
+
+        out = out.withColumn("bpe_tokens", bpe_token_count(F.col("clean_text")))
+    return out
 
 
 def pack_documents(

@@ -401,3 +401,24 @@ def test_bpe_token_count_spark_matches_python_oracle(spark, docs):
         F.sum(F.length("text")).alias("chars"),
     ).collect()[0]
     assert row["ws"] <= row["bpe"] <= row["chars"]
+
+
+def test_curate_corpus_bpe_tokens_option(spark):
+    """bpe_tokens=True appends a real-BPE count of the redacted text,
+    agreeing with the pure-Python encoder; the default column set is
+    unchanged (the driver gate depends on it)."""
+    from anything2rdf_spark.functions import bpe
+    from anything2rdf_spark.operators.curation import curate_corpus
+
+    rows = [
+        (1, "the report for the team is ready and the contact is bob@corp.example for the order"),
+        (2, "the quick brown fox jumps over the lazy dog and runs to the old barn in a field"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = curate_corpus(docs, langs=("en",))
+    assert base.columns == ["doc_id", "lang_guess", "quality", "ws_tokens", "clean_text"]
+    out = curate_corpus(docs, langs=("en",), bpe_tokens=True)
+    assert out.columns[-1] == "bpe_tokens"
+    ranks = {p: i for i, p in enumerate(bpe.default_merges())}
+    for r in out.collect():
+        assert r["bpe_tokens"] == bpe.encode_text(r["clean_text"], ranks), r["doc_id"]
