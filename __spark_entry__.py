@@ -3138,7 +3138,7 @@ def _substr_dedup_spark(spark: SparkSession) -> DataFrame:
     )
 
 
-_SUBSTR_ORACLE = rf"""
+_SUBSTR_CHAIN = rf"""
 WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
               FROM {_sql_values(_SUBSTR_FIXTURE_ROWS, 'doc_id, text')}),
 sh0 AS (
@@ -3172,11 +3172,49 @@ runs AS (
   SELECT *, sum(new_run) OVER (PARTITION BY a, b, diag ORDER BY pos_a
                                ROWS UNBOUNDED PRECEDING) AS run_id
   FROM lagd
+),
+spans AS (
+  SELECT a, b, min(pos_a) AS a_start, min(pos_a) - diag AS b_start,
+         max(pos_a) - min(pos_a) + {_SS_K} AS span_len
+  FROM runs GROUP BY a, b, diag, run_id
 )
-SELECT a, b, min(pos_a) AS a_start, min(pos_a) - diag AS b_start,
-       max(pos_a) - min(pos_a) + {_SS_K} AS span_len
-FROM runs GROUP BY a, b, diag, run_id
 """
+
+_SUBSTR_ORACLE = _SUBSTR_CHAIN + "\nSELECT a, b, a_start, b_start, span_len FROM spans"
+
+# substring_strip — the splice side: per-character anti-join re-derivation
+# (every char of a higher-id doc inside a detected span is dropped, the
+# rest re-concatenated in order) — mirrors the cursor-fold splice exactly,
+# including overlapping-interval union semantics.
+_SUBSTR_STRIP_ORACLE = _SUBSTR_CHAIN + rf"""
+, chars AS (
+  SELECT doc_id, i, substr(text, i, 1) AS ch
+  FROM docs, unnest(generate_series(1, len(text))) AS t(i)
+),
+rem AS (SELECT b AS doc_id, b_start AS s, b_start + span_len - 1 AS e FROM spans),
+kept AS (
+  SELECT c.doc_id, c.i, c.ch FROM chars c
+  WHERE NOT EXISTS (SELECT 1 FROM rem r
+                    WHERE r.doc_id = c.doc_id AND c.i BETWEEN r.s AND r.e)
+),
+agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean FROM kept GROUP BY doc_id)
+SELECT d.doc_id, md5(coalesce(a.clean, '')) AS clean_md5,
+       CAST(coalesce(len(a.clean), 0) AS INT) AS clean_len
+FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _substr_strip_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_SUBSTR_FIXTURE_ROWS, "doc_id long, text string")
+    spans = DD.substring_duplicate_spans(
+        fixture, shingle_len=_SS_K, stride=_SS_STRIDE, max_df=_SS_MAXDF
+    )
+    clean = DD.strip_duplicate_spans(fixture, spans)
+    return clean.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.length("text").cast("int").alias("clean_len"),
+    )
 
 
 _EXTRAS_SUITE = [
@@ -3190,6 +3228,8 @@ _EXTRAS_SUITE = [
     ("hash_split", _split_assign_spark),
     # dedupe.substring_duplicate_spans — Lee et al. 2022 substring dedup
     ("substring_dedup", _substr_dedup_spark),
+    # dedupe.strip_duplicate_spans — the splice action over the same spans
+    ("substring_strip", _substr_strip_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3200,6 +3240,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("hash_split", _SPLIT_ASSIGN_ORACLE, ["doc_id", "split"]),
     ("substring_dedup", _SUBSTR_ORACLE,
      ["a", "b", "a_start", "b_start", "span_len"]),
+    ("substring_strip", _SUBSTR_STRIP_ORACLE,
+     ["doc_id", "clean_md5", "clean_len"]),
 ]
 
 

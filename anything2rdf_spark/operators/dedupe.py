@@ -538,3 +538,53 @@ def substring_duplicate_spans(
     if min_span is not None:
         out = out.filter(F.col("span_len") >= min_span)
     return out
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup ACTION for substring_duplicate_spans (Lee et al. 2022
+    remove the duplicated substrings, keeping one occurrence): splice each
+    detected span out of the HIGHER-id document — the a < b convention
+    keeps the min-id occurrence, the same canonical rule exact_duplicates
+    uses. Returns ``docs`` with ``text_col`` replaced by the spliced text.
+
+    Plan at scale: spans aggregate to one interval-list row per affected
+    doc (dimension-shaped relative to the corpus); the splice itself is a
+    single native ``aggregate`` fold over the sorted intervals — a cursor
+    walk that naturally handles overlapping/adjacent intervals — so the
+    corpus is touched in one pass with no Python and no extra shuffle
+    beyond the interval groupBy.
+    """
+    iv = spans.groupBy(F.col("b").alias(id_col)).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("b_start").alias("s"), F.col("span_len").alias("l"))
+            )
+        ).alias("_iv")
+    )
+    d = docs.join(iv, id_col, "left")
+    t = F.col(text_col)
+
+    def splice(ivs):
+        acc0 = F.struct(F.lit("").alias("out"), F.lit(1).alias("cur"))
+
+        def step(acc, x):
+            keep_len = F.greatest(x["s"] - acc["cur"], F.lit(0))
+            return F.struct(
+                F.concat(acc["out"], F.substring(t, acc["cur"], keep_len)).alias("out"),
+                F.greatest(acc["cur"], x["s"] + x["l"]).alias("cur"),
+            )
+
+        def fin(acc):
+            tail_len = F.greatest(F.length(t) - acc["cur"] + 1, F.lit(0))
+            return F.concat(acc["out"], F.substring(t, acc["cur"], tail_len))
+
+        return F.aggregate(ivs, acc0, step, fin)
+
+    return d.withColumn(
+        text_col, F.when(F.col("_iv").isNull(), t).otherwise(splice(F.col("_iv")))
+    ).drop("_iv")

@@ -254,3 +254,46 @@ def test_substring_duplicate_spans(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     with pytest.raises(ValueError):
         substring_duplicate_spans(df, stride=10)
+
+
+def test_strip_duplicate_spans(spark):
+    """The splice removes each detected span from the higher-id doc only:
+    the min-id occurrence survives verbatim, the copy's surroundings stay
+    intact, lengths reconcile exactly, and docs without spans pass
+    through unchanged (including overlapping-interval folding)."""
+    import hashlib
+
+    from anything2rdf_spark.operators.dedupe import (
+        strip_duplicate_spans,
+        substring_duplicate_spans,
+    )
+
+    def noise(tag, n):
+        out, i = [], 0
+        while sum(map(len, out)) < n:
+            out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    span = noise("s2", 200)
+    rows = [
+        (1, noise("p", 313) + span + noise("p2", 91)),
+        (2, noise("q", 53) + span + noise("q2", 400)),
+        (3, noise("r", 500)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = substring_duplicate_spans(df, shingle_len=32, stride=16)
+    got = {r["doc_id"]: r["text"] for r in strip_duplicate_spans(df, spans).collect()}
+    orig = dict(rows)
+    assert got[1] == orig[1] and got[3] == orig[3]     # canonical + unrelated intact
+    assert span in got[1] and span not in got[2]        # copy removed, original kept
+    removed = sum(r["span_len"] for r in spans.collect())
+    assert len(got[2]) == len(orig[2]) - removed        # exact splice arithmetic
+    assert got[2].startswith(orig[2][:40])              # prefix outside span intact
+    assert got[2].endswith(orig[2][-40:])               # suffix outside span intact
+    # overlapping intervals fold via the cursor walk: feed synthetic spans
+    manual = spark.createDataFrame(
+        [(1, 3, 10, 10, 20), (1, 3, 10, 20, 20)], "a long, b long, a_start int, b_start int, span_len int"
+    )
+    out3 = {r["doc_id"]: r["text"] for r in strip_duplicate_spans(df, manual).collect()}
+    assert out3[3] == orig[3][:9] + orig[3][39:]        # union [10,39] removed once
