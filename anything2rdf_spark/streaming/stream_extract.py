@@ -183,3 +183,61 @@ def run_sessionize_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# --- streaming corpus curation ---------------------------------------------
+
+DOC_STREAM_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def read_documents_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_curate(
+    doc_stream: DataFrame,
+    langs=("en",),
+    min_quality: float = 0.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming analog of ``curation.curate_corpus``: bounded-state exact
+    dedup — ``dropDuplicatesWithinWatermark`` on the same normalized
+    content hash the batch chain uses, so state is (arrival rate x
+    watermark), never corpus size — followed by the identical scan-local
+    language / quality / PII / token expressions (they are pure narrow ops,
+    so they compose with readStream unchanged, same argument as
+    streaming_triples).
+
+    One deliberate semantic difference from batch, inherent to streams:
+    the surviving duplicate is the FIRST-ARRIVED one, not the min-id one —
+    picking min-id would need unbounded reordering state. Everything
+    derived from the surviving row (lang, quality, clean_text, tokens) is
+    identical either way because the duplicates' texts are equal by
+    construction; the batch-equivalence test compares on those columns.
+    """
+    from ..operators.dedupe import normalized_text
+    from ..operators.textstats import lang_id, quality_score, redact_pii, ws_token_count
+
+    d = (
+        doc_stream.withColumn("_fp", F.sha2(normalized_text("text"), 256))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+    d = d.withColumn("lang_guess", lang_id("text"))
+    if langs is not None:
+        d = d.filter(F.col("lang_guess").isin(list(langs)))
+    d = d.withColumn("quality", F.round(quality_score("text"), 6))
+    if min_quality > 0.0:
+        d = d.filter(F.col("quality") >= min_quality)
+    return d.select(
+        "doc_id",
+        "lang_guess",
+        "quality",
+        ws_token_count("text").alias("ws_tokens"),
+        redact_pii("text").alias("clean_text"),
+    )

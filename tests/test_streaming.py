@@ -180,3 +180,52 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         got.select("fp").exceptAll(batch.select("fp")).count() == 0
         and batch.select("fp").exceptAll(got.select("fp")).count() == 0
     )
+
+
+def test_streaming_curate_matches_batch(spark, tmp_path):
+    """streaming_curate ≡ batch curate_corpus on the surviving CONTENT
+    (lang/quality/tokens/clean_text): exact duplicates split across
+    micro-batches dedup to one survivor; the de doc and the junk doc are
+    filtered in both engines; the PII doc is scrubbed identically. doc_id
+    is excluded from the compare — the stream keeps the first-arrived
+    duplicate, batch keeps min-id (documented semantic difference)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.curation import curate_corpus
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the old barn in a field"),
+        (3, "der mann und die frau ist mit dem kind auf ein fest und das ist nicht schlecht"),
+        (4, "tiny junk"),
+    ]
+    rows2 = [
+        (2, "the quick brown fox jumps over the lazy dog and runs to the old barn in a field"),
+        (5, "the report for the team is ready and the contact is bob@corp.example so call for the order on the table"),
+    ]
+    src = str(tmp_path / "curate_src")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    mk(rows1).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # duplicate arrives in a LATER micro-batch
+    mk(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        SE.streaming_curate(SE.read_documents_stream(spark, src, max_files=1))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_curate")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT lang_guess, quality, ws_tokens, clean_text FROM t_curate")
+
+    batch = curate_corpus(
+        spark.createDataFrame(rows1 + rows2, "doc_id long, text string"), langs=("en",)
+    ).select("lang_guess", "quality", "ws_tokens", "clean_text")
+    assert got.count() == batch.count() == 2  # dup collapsed; de + junk-lang rows judged same
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    assert got.filter(F.col("clean_text").contains("<EMAIL>")).count() == 1
