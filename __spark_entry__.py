@@ -3217,6 +3217,56 @@ def _substr_strip_spark(spark: SparkSession) -> DataFrame:
     )
 
 
+# semantic_dedup — similarity.semantic_duplicates (SemDeDup, Abbas et al.
+# 2023): k-means-cluster partition + within-cluster exact cosine. Runs the
+# engine-portable integer parameterization so DuckDB reproduces the
+# identical 2-round Lloyd training and assignment (same helpers as
+# sim_ivf_recall); cosine is reported as round(cos*10000) INT so the suite
+# row stays float-free.
+_SEM_N, _SEM_NLIST, _SEM_THRESH = 150, 6, 0.2
+
+
+def _semantic_dedup_spark(spark: SparkSession) -> DataFrame:
+    emb = spark.table("embeddings").filter(f"vec_id < {_SEM_N}").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = SM.semantic_duplicates(
+        emb, nlist=_SEM_NLIST, iters=2, threshold=_SEM_THRESH, quantize_scale=1000
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.round(F.col("cosine_sim") * 10000, 0).cast("int").alias("cos4"),
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = (
+        "list_inner_product(l.v, r.v) / (sqrt(list_inner_product(l.v, l.v))"
+        " * sqrt(list_inner_product(r.v, r.v)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv,
+         embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {_SEM_N}
+),
+seeds AS (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {_SEM_NLIST}),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS c FROM seeds),
+a1 AS ({_ivf_assign_sql('e', 'c0')}),
+c1 AS ({_ivf_update_sql('a1', 'c0')}),
+a2 AS ({_ivf_assign_sql('e', 'c1')}),
+c2 AS ({_ivf_update_sql('a2', 'c1')}),
+af AS ({_ivf_assign_sql('e', 'c2')})
+SELECT l.vec_id AS a, r.vec_id AS b, CAST(l.cluster AS INT) AS cluster,
+       CAST(round(({cos}) * 10000, 0) AS INT) AS cos4
+FROM af l JOIN af r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+WHERE {cos} >= {_SEM_THRESH}
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3230,6 +3280,8 @@ _EXTRAS_SUITE = [
     ("substring_dedup", _substr_dedup_spark),
     # dedupe.strip_duplicate_spans — the splice action over the same spans
     ("substring_strip", _substr_strip_spark),
+    # similarity.semantic_duplicates — SemDeDup (Abbas et al. 2023)
+    ("semantic_dedup", _semantic_dedup_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3242,6 +3294,8 @@ _EXTRAS_SUITE_ORACLE = [
      ["a", "b", "a_start", "b_start", "span_len"]),
     ("substring_strip", _SUBSTR_STRIP_ORACLE,
      ["doc_id", "clean_md5", "clean_len"]),
+    ("semantic_dedup", _semantic_dedup_oracle(),
+     ["a", "b", "cluster", "cos4"]),
 ]
 
 

@@ -518,3 +518,67 @@ def ivf_topk(
     key = F.col("cosine_sim") if order_round is None else F.round("cosine_sim", order_round)
     w = W.partitionBy(query_id_col).orderBy(F.desc(key), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+    nlist: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    quantize_scale: int | None = None,
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """Semantic (embedding-space) duplicate pairs via clustering — the
+    SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): partition the corpus
+    with the IVF coarse quantizer (spherical k-means, :func:`ivf_train`),
+    then compute exact cosine only WITHIN each cluster and keep pairs at or
+    above ``threshold``. Complements the LSH route
+    (:func:`embedding_neardup_pairs`): k-means buckets adapt to the data
+    distribution where fixed hyperplanes cannot, at the cost of the
+    training pass.
+
+    Scale shape: centroids are dimension-sized (driver + broadcast into
+    the assignment expression, corpus never collected); assignment is one
+    narrow pass; the only shuffle keys on cluster id; ``max_cluster`` caps
+    degenerate clusters before the self-join exactly like the LSH bucket
+    cap (drop + ``oversized_buckets`` to log). Pass ``quantize_scale`` for
+    the engine-portable integer parameterization (bit-identical
+    assignments in any engine — the driver's oracle gate runs this path).
+
+    Returns (a, b, cluster, cosine_sim) with a < b.
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            df, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
+            quantize_scale=quantize_scale,
+        )
+    scores = (
+        _centroid_scores_int(vec_col, centroids, quantize_scale)
+        if quantize_scale is not None
+        else _centroid_scores(vec_col, centroids)
+    )
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array_min(scores)["j"].alias("b"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
+    if max_cluster is not None:
+        sig = cap_buckets(sig, ["b"], max_cluster)
+    return (
+        sig.alias("l")
+        .join(sig.alias("r"), (F.col("l.b") == F.col("r.b")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.b").alias("cluster"),
+            (
+                _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -156,3 +156,29 @@ def test_neardup_release_persisted(spark):
     assert all(not d.storageLevel.useMemory for d in deps)
     # no-op on a DataFrame without attached deps
     SM.release_persisted(df)
+
+
+def test_semantic_duplicates(spark):
+    """SemDeDup composition: a planted near-identical pair lands in the
+    same k-means cluster and is returned above threshold; orthogonal
+    vectors are not; a < b ordering holds; max_cluster capping drops a
+    degenerate cluster's pairs."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.012, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SM.semantic_duplicates(df, nlist=3, iters=2, threshold=0.99)
+    pairs = {(r["a"], r["b"]): r for r in out.collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["cosine_sim"] > 0.99
+    # integer-exact parameterization agrees on the pair set
+    out_q = SM.semantic_duplicates(df, nlist=3, iters=2, threshold=0.99, quantize_scale=1000)
+    assert {(r["a"], r["b"]) for r in out_q.collect()} == {(1, 2)}
+    # cap: with every vector forced into one cluster and max_cluster=2,
+    # the 5-row cluster is dropped entirely
+    capped = SM.semantic_duplicates(df, nlist=1, iters=1, threshold=0.0, max_cluster=2)
+    assert capped.count() == 0
