@@ -145,3 +145,39 @@ def test_lineage_registry_survives_truncated_line(tmp_path):
         f.write('{"run_id": "r2", "stage": "ext')  # truncated
     assert reg.is_done("extract", "fp1")
     assert len(reg.metrics()) == 1
+
+
+def test_substring_dedup_plan_shape(spark):
+    """substring_duplicate_spans: content-defined selection runs inside the
+    scan (no Python anywhere), the pair join is an equi-join (never a
+    cartesian product), and the hot-shingle anti-join broadcasts its
+    dimension-sized side. strip_duplicate_spans splices natively too."""
+    from anything2rdf_spark.operators.dedupe import (
+        strip_duplicate_spans,
+        substring_duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spans = substring_duplicate_spans(docs, shingle_len=32, stride=16)
+    p = plan(spans)
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p  # no row-at-a-time or Arrow Python stage
+    assert "BroadcastHashJoin" in p  # the df-cap anti-join side
+    p2 = plan(strip_duplicate_spans(docs, spans))
+    assert "CartesianProduct" not in p2 and "EvalPython" not in p2
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """semantic_duplicates' assignment is a native expression over broadcast
+    centroids (no Python), and the within-cluster pair join is an equi-join
+    on cluster id — never all-pairs."""
+    from anything2rdf_spark.operators.similarity import ivf_train, semantic_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = ivf_train(emb, nlist=4, iters=1)
+    p = plan(semantic_duplicates(emb, centroids=cents, threshold=0.5))
+    assert "CartesianProduct" not in p and "EvalPython" not in p
