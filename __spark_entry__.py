@@ -3267,6 +3267,81 @@ WHERE {cos} >= {_SEM_THRESH}
 """
 
 
+# gopher_flags — textstats.gopher_flags (Rae et al. 2021 Table A1 rule
+# family). Fixture rows trip each gate individually; the documents table
+# rides along so corpus-shaped text exercises the mixed cases.
+_GOPHER_KEYS = [
+    "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok", "bullet_lines_ok",
+    "ellipsis_lines_ok", "alpha_word_ok", "stopword_ok", "pass",
+]
+_GOPHER_FIXTURE_ROWS = [
+    (3000001, " ".join(["the quick brown fox and that lazy dog have to be of use with them"] * 6)),
+    (3000002, "short text with the and of"),                       # word_count fails
+    (3000003, " ".join(["the #tag and #tag of #tag"] * 20)),       # symbol ratio fails
+    (3000004, "\n".join(["- the bullet point of the list and that"] * 12)),   # bullets fail
+    (3000005, "\n".join(["the thing with that goes on and on..."] * 12)),     # ellipses fail
+    (3000006, " ".join(["12345 67890 11111"] * 25)),               # alpha + stopword fail
+    (3000007, " ".join(["a b c d e f g h i j"] * 10)),             # mean word len fails
+]
+
+
+def _gopher_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_GOPHER_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    g = TS.gopher_flags("text")
+    return docs.select("doc_id", *[g[k].alias(k) for k in _GOPHER_KEYS])
+
+
+def _gopher_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in TS.GOPHER_STOP)
+    fixture = _sql_values(_GOPHER_FIXTURE_ROWS, "doc_id, text")
+    conj = " AND ".join(
+        [
+            "(n_words >= 50 AND n_words <= 100000)",
+            "(CAST(n_chars AS DOUBLE) / nzw >= 3 AND CAST(n_chars AS DOUBLE) / nzw <= 10)",
+            "(CAST(n_sym AS DOUBLE) / nzw < 0.1)",
+            "(CAST(n_bullet AS DOUBLE) / nzl < 0.9)",
+            "(CAST(n_ellipsis AS DOUBLE) / nzl < 0.3)",
+            "(CAST(n_alpha AS DOUBLE) / nzw >= 0.8)",
+            "(n_stop >= 2)",
+        ]
+    )
+    return rf"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM {fixture}
+),
+x AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS words,
+         list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) <> '') AS lines,
+         len(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+  FROM src
+),
+y AS (
+  SELECT doc_id, len(words) AS n_words, greatest(len(words), 1) AS nzw,
+         greatest(len(lines), 1) AS nzl, n_chars, n_sym,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS n_ellipsis,
+         len(list_filter(words, w -> regexp_matches(w, '\p{{L}}'))) AS n_alpha,
+         len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+                            [{stop}])) AS n_stop
+  FROM x
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       CAST(n_chars AS DOUBLE) / nzw >= 3 AND CAST(n_chars AS DOUBLE) / nzw <= 10 AS mean_word_len_ok,
+       CAST(n_sym AS DOUBLE) / nzw < 0.1 AS symbol_ratio_ok,
+       CAST(n_bullet AS DOUBLE) / nzl < 0.9 AS bullet_lines_ok,
+       CAST(n_ellipsis AS DOUBLE) / nzl < 0.3 AS ellipsis_lines_ok,
+       CAST(n_alpha AS DOUBLE) / nzw >= 0.8 AS alpha_word_ok,
+       n_stop >= 2 AS stopword_ok,
+       {conj} AS pass
+FROM y
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3282,6 +3357,8 @@ _EXTRAS_SUITE = [
     ("substring_strip", _substr_strip_spark),
     # similarity.semantic_duplicates — SemDeDup (Abbas et al. 2023)
     ("semantic_dedup", _semantic_dedup_spark),
+    # textstats.gopher_flags — the full Gopher rule family (Rae et al. 2021)
+    ("gopher_flags", _gopher_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3296,6 +3373,7 @@ _EXTRAS_SUITE_ORACLE = [
      ["doc_id", "clean_md5", "clean_len"]),
     ("semantic_dedup", _semantic_dedup_oracle(),
      ["a", "b", "cluster", "cos4"]),
+    ("gopher_flags", _gopher_oracle(), ["doc_id", *_GOPHER_KEYS]),
 ]
 
 

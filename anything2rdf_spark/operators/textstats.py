@@ -330,3 +330,58 @@ def redact_pii(text) -> Column:
         else:
             out = F.regexp_replace(out, pat, token)
     return out
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", Table A1) — the full document-level rule family as native
+# expressions; quality_score above is the cheap composite, these are the
+# individual pass/fail gates a curation pipeline filters or audits on.
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(text) -> Column:
+    """struct of the Gopher document-quality gates, all computed in one
+    scan-local expression (no UDF):
+
+      word_count_ok     50 <= words <= 100000
+      mean_word_len_ok  3 <= chars/word <= 10
+      symbol_ratio_ok   '#' + '...' occurrences / words < 0.1
+      bullet_lines_ok   < 90% of lines start with a bullet
+      ellipsis_lines_ok < 30% of lines end with '...'
+      alpha_word_ok     >= 80% of words contain an alphabetic char
+      stopword_ok       >= 2 distinct common-English stopwords present
+      pass              conjunction of all of the above
+    """
+    t = _c(text)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOP]),
+        )
+    )
+    nz_words = F.greatest(n_words, F.lit(1)).cast("double")
+    nz_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (n_chars / nz_words >= 3) & (n_chars / nz_words <= 10),
+        "symbol_ratio_ok": n_sym / nz_words < 0.1,
+        "bullet_lines_ok": n_bullet / nz_lines < 0.9,
+        "ellipsis_lines_ok": n_ellipsis / nz_lines < 0.3,
+        "alpha_word_ok": n_alpha / nz_words >= 0.8,
+        "stopword_ok": n_stop >= 2,
+    }
+    all_ok = None
+    for c in flags.values():
+        all_ok = c if all_ok is None else (all_ok & c)
+    return F.struct(
+        *[c.alias(k) for k, c in flags.items()], all_ok.alias("pass")
+    )

@@ -422,3 +422,34 @@ def test_curate_corpus_bpe_tokens_option(spark):
     ranks = {p: i for i, p in enumerate(bpe.default_merges())}
     for r in out.collect():
         assert r["bpe_tokens"] == bpe.encode_text(r["clean_text"], ranks), r["doc_id"]
+
+
+def test_gopher_flags_each_gate(spark):
+    """Each engineered fixture trips exactly its intended Gopher gate
+    (Rae et al. 2021 Table A1): the all-pass doc passes every gate; the
+    others fail word-count / symbol-ratio / bullet-lines / ellipsis-lines /
+    alpha-words / mean-word-length respectively."""
+    rows = [
+        ("ok", " ".join(["the quick brown fox and that lazy dog have to be of use with them"] * 6)),
+        ("short", "short text with the and of"),
+        ("symbols", " ".join(["the #tag and #tag of #tag"] * 20)),
+        ("bullets", "\n".join(["- the bullet point of the list and that"] * 12)),
+        ("ellipses", "\n".join(["the thing with that goes on and on..."] * 12)),
+        ("numeric", " ".join(["12345 67890 11111"] * 25)),
+        ("tiny_words", " ".join(["a b c d e f g h i j"] * 10)),
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = {r["k"]: r["g"] for r in df.select("k", TS.gopher_flags("text").alias("g")).collect()}
+    assert got["ok"]["pass"] and all(got["ok"][f] for f in got["ok"].asDict())
+    expect_fail = {
+        "short": "word_count_ok",
+        "symbols": "symbol_ratio_ok",
+        "bullets": "bullet_lines_ok",
+        "ellipses": "ellipsis_lines_ok",
+        "numeric": "alpha_word_ok",
+        "tiny_words": "mean_word_len_ok",
+    }
+    for k, flag in expect_fail.items():
+        assert not got[k][flag], (k, flag, got[k].asDict())
+        assert not got[k]["pass"]
+    assert not got["numeric"]["stopword_ok"]  # numbers contain no stopwords
