@@ -185,6 +185,50 @@ def run_control_once(master: str, rows: int, shuffle_partitions: int, cpus: str 
     return _subproc("--worker-control", master, str(rows), str(shuffle_partitions), cpus=cpus)
 
 
+def _worker_curate(master: str, sf_dir: str, shuffle_partitions: int) -> None:
+    """Training-data curation throughput: curate_corpus (dedup + lang ID +
+    quality + PII scrub + token count) over the sf documents table,
+    replicated in-flight with DISTINCT texts (a ' v<k>' suffix) so the
+    chain's per-document work — not the dedup collapse of identical
+    replicas — dominates, the same in-flight replication trick the
+    extraction kernel uses."""
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.curation import curate_corpus
+    from anything2rdf_spark.session import get_spark
+
+    # 16x keeps the leg ~45-60s at sf0.1 (5k docs -> 80k) — long enough
+    # that per-job fixed cost (~3.5s) is noise, short enough that best-of-2
+    # fits the driver's bench window alongside the pipeline + scaling legs
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_DOC_REPLICATE", "16"))
+    spark = get_spark(master=master, app_name="a2r-bench-curate", shuffle_partitions=shuffle_partitions)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    if rep > 1:
+        docs = docs.select(
+            F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("_k"), "*"
+        ).select(
+            (F.col("doc_id") * rep + F.col("_k")).alias("doc_id"),
+            F.concat("text", F.lit(" v"), F.col("_k").cast("string")).alias("text"),
+        )
+    # warm-up: JIT the chain's codegen stages on a slice
+    curate_corpus(docs.filter(F.pmod("doc_id", F.lit(50)) == 0), langs=("en",)).count()
+    n_in = docs.count()
+    t0 = time.time()
+    n_out = curate_corpus(docs, langs=("en",), min_quality=0.5).count()
+    wall = time.time() - t0
+    print(
+        "BENCH_RESULT "
+        + json.dumps(
+            {"wall_s": wall, "n_in": n_in, "n_out": n_out, "docs_per_sec": n_in / wall}
+        )
+    )
+    spark.stop()
+
+
+def run_curate_once(master: str, sf_dir: str, shuffle_partitions: int, cpus: str | None = None) -> dict:
+    return _subproc("--worker-curate", master, sf_dir, str(shuffle_partitions), cpus=cpus)
+
+
 def run_once(master: str, input_path: str, shuffle_partitions: int, cpus: str | None = None) -> dict:
     """Each Spark run gets its own OS process — stop/start of SparkContexts
     inside one Python process leaves dead Python-accumulator servers that
@@ -293,6 +337,16 @@ def main():
         )
     pipe = min(pipe_runs, key=lambda r: r["wall_s"])
 
+    # 1b) training-data curation throughput (curate_corpus over the sf
+    # documents table, replicated in-flight with distinct texts) — the
+    # LLM-data family gets a benched number, not just a correctness gate.
+    # Best-of-2, same 2x-pinning as the pipeline leg.
+    cur_runs = [run_curate_once(f"local[{n_big}]", sf_dir, n_big, cpus=pipe_cpus)]
+    if time.time() - t_start < budget_s * 0.5:
+        time.sleep(10)
+        cur_runs.append(run_curate_once(f"local[{n_big}]", sf_dir, n_big, cpus=pipe_cpus))
+    cur = min(cur_runs, key=lambda r: r["wall_s"])
+
     # cooldown before the scaling legs: the burst budget recovers with idle
     time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "60")))
 
@@ -351,6 +405,7 @@ def main():
     control_eff = csmall["wall_s"] / (ratio * cbig["wall_s"])
 
     queries = {f"stage_{k}": v for k, v in pipe["stages"].items()}
+    queries[f"curate_local{n_big}"] = cur["wall_s"]
     queries[f"extract_local{n_small}"] = pb_small
     queries[f"extract_local{n_big}"] = pb_big
     queries[f"control_local{n_small}"] = csmall["wall_s"]
@@ -376,6 +431,9 @@ def main():
         "control_scaling_efficiency": round(control_eff, 3),
         "scaling_efficiency_vs_control": round(efficiency / control_eff, 3),
         "pipeline_runs_s": [round(r["wall_s"], 2) for r in pipe_runs],
+        "curation_docs_per_sec": round(cur["docs_per_sec"], 1),
+        "curation_docs_in": cur["n_in"],
+        "curation_runs_s": [round(r["wall_s"], 2) for r in cur_runs],
         "scaling_samples": {
             f"local{n}": [round(r["wall_s"], 2) for r in rs] for n, rs in runs.items()
         },
@@ -442,6 +500,13 @@ def main():
             "Per-stage seconds: "
             + ", ".join(f"{k}={v:.2f}" for k, v in pipe["stages"].items())
             + "\n\n"
+            f"## Curation throughput (local[{n_big}], best of {len(cur_runs)}: "
+            + ", ".join("{:.1f}s".format(r["wall_s"]) for r in cur_runs)
+            + ")\n\n"
+            f"curate_corpus (dedup + 18-lang ID + quality + PII + tokens) over\n"
+            f"{cur['n_in']} in-flight-replicated distinct documents: "
+            f"{cur['wall_s']:.2f}s = {cur['docs_per_sec']:.0f} docs/sec "
+            f"({cur['n_out']} survivors).\n\n"
             "## Extraction throughput scaling (primary metric)\n\n"
             "| config | best phase-sum wall (s) | records | records/sec |\n"
             "| --- | --- | --- | --- |\n"
@@ -477,6 +542,8 @@ if __name__ == "__main__":
         _worker_extract(sys.argv[2], sys.argv[3], int(sys.argv[4]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--worker-control":
         _worker_control(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--worker-curate":
+        _worker_curate(sys.argv[2], sys.argv[3], int(sys.argv[4]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--worker-gen":
         _worker_materialize(int(sys.argv[2]), sys.argv[3])
     else:
