@@ -3342,6 +3342,56 @@ FROM y
 """
 
 
+# lm_familiarity — textstats.seed_lm_familiarity: CCNet-style LM quality
+# scoring (Wenzek et al. 2020) with the reference LM trained on an
+# in-corpus seed split (doc_id % 97 == 0), so BOTH training and scoring are
+# one SQL derivation. Fixture: a seed-split doc (1000361 % 97 == 0), a
+# case/whitespace variant of it (normalization must fold to full coverage),
+# a mostly-unseen-script doc, and a too-short doc that must be dropped.
+_LM_FIXTURE_ROWS = [
+    (1000361, "the cat sat on the mat and the dog ran to the barn"),
+    (1000301, "  The   CAT sat  on the MAT and the dog ran to the barn  "),
+    (1000302, "zzzz qqqq xxxx wwww"),
+    (1000303, "ab"),
+]
+
+
+def _lm_familiarity_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_LM_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return TS.seed_lm_familiarity(docs)
+
+
+def _lm_familiarity_oracle() -> str:
+    return rf"""
+SELECT doc_id,
+       count(*) AS n_tri,
+       count(m.c) AS seen_tri,
+       CAST(sum(coalesce(m.c, 0)) AS BIGINT) AS hits,
+       CAST(floor(1e6 * count(m.c) / count(*)) AS BIGINT) AS coverage_ppm
+FROM (
+  SELECT a.doc_id, substr(a.norm, CAST(t.d AS INT), 3) AS tg
+  FROM (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM ({_extras_docs_sql(_LM_FIXTURE_ROWS)}) s
+  ) a, unnest(generate_series(1, len(a.norm) - 2)) AS t(d)
+  WHERE len(a.norm) >= 3
+) tri
+LEFT JOIN (
+  SELECT tg, count(*) AS c FROM (
+    SELECT substr(a.norm, CAST(t.d AS INT), 3) AS tg
+    FROM (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM ({_extras_docs_sql(_LM_FIXTURE_ROWS)}) s
+      WHERE doc_id % 97 = 0
+    ) a, unnest(generate_series(1, len(a.norm) - 2)) AS t(d)
+    WHERE len(a.norm) >= 3
+  ) st GROUP BY tg
+) m USING (tg)
+GROUP BY doc_id
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3359,6 +3409,8 @@ _EXTRAS_SUITE = [
     ("semantic_dedup", _semantic_dedup_spark),
     # textstats.gopher_flags — the full Gopher rule family (Rae et al. 2021)
     ("gopher_flags", _gopher_spark),
+    # textstats.seed_lm_familiarity — CCNet-style LM scoring, seed-trained
+    ("lm_familiarity", _lm_familiarity_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3374,6 +3426,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("semantic_dedup", _semantic_dedup_oracle(),
      ["a", "b", "cluster", "cos4"]),
     ("gopher_flags", _gopher_oracle(), ["doc_id", *_GOPHER_KEYS]),
+    ("lm_familiarity", _lm_familiarity_oracle(),
+     ["doc_id", "n_tri", "seen_tri", "hits", "coverage_ppm"]),
 ]
 
 

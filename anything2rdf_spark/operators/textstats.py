@@ -385,3 +385,76 @@ def gopher_flags(text) -> Column:
     return F.struct(
         *[c.alias(k) for k, c in flags.items()], all_ok.alias("pass")
     )
+
+
+def char_trigrams(text) -> Column:
+    """Character trigrams of whitespace-normalized, lowercased text (spaces
+    collapsed to one, so word boundaries carry exactly one signal char).
+    EMPTY array for texts shorter than 3 chars — the guard matters because
+    ``sequence(1, 0)`` in Spark is the DESCENDING ``[1, 0]``, not empty."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+    n = F.length(norm)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.substring(norm, i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def seed_lm_familiarity(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_mod: int = 97,
+):
+    """CCNet-style LM quality signal (Wenzek et al., LREC 2020) re-shaped
+    for a distributed engine: instead of shipping a pretrained KenLM, train
+    a character-trigram model on an in-corpus SEED SPLIT (every doc whose
+    id ≡ 0 mod ``seed_mod``) and score every document's trigrams against
+    it. Returns one row per document with ≥ 1 trigram:
+
+      n_tri         trigram count of the document
+      seen_tri      trigrams that exist in the seed model
+      hits          total seed-frequency mass of the doc's trigrams
+      coverage_ppm  floor(1e6 * seen_tri / n_tri) — the filterable score
+
+    Integer outputs only (the ratio uses ``floor`` over one IEEE-exact
+    division, so it is bit-identical across engines — ``round`` half-way
+    ties are not).
+
+    Plan at scale: the model is a partial-aggregated groupBy over the seed
+    split's trigrams (~1/seed_mod of the corpus; char-trigram vocabulary is
+    bounded by charset³ — low-MB even at 100 TB) and is BROADCAST to the
+    scoring join, so scoring is scan-local: explode → broadcast hash join →
+    partial-aggregated groupBy(doc_id). The only full shuffle is on doc_id
+    (uniform, AQE-splittable); no window, no Python.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), char_trigrams(text_col).alias("_tg")
+    )
+    tri = d.select("doc_id", F.explode("_tg").alias("tg"))
+    model = (
+        tri.filter(F.pmod("doc_id", F.lit(seed_mod)) == 0)
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = tri.join(F.broadcast(model), "tg", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.count("c").alias("seen_tri"),
+            F.sum(F.coalesce("c", F.lit(0))).alias("hits"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "seen_tri",
+            "hits",
+            F.floor(F.lit(1_000_000.0) * F.col("seen_tri") / F.col("n_tri"))
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

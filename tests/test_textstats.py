@@ -453,3 +453,55 @@ def test_gopher_flags_each_gate(spark):
         assert not got[k][flag], (k, flag, got[k].asDict())
         assert not got[k]["pass"]
     assert not got["numeric"]["stopword_ok"]  # numbers contain no stopwords
+
+
+def test_seed_lm_familiarity_matches_python_reference(spark):
+    """seed_lm_familiarity vs a direct pure-Python re-derivation on a
+    fixture that exercises: a seed doc (id % 97 == 0), a doc made entirely
+    of seed trigrams (coverage 1e6), a doc with unseen script (coverage 0
+    for its non-matching trigrams), and a too-short doc (dropped)."""
+    from collections import Counter
+
+    rows = [
+        (0, "the cat sat on the mat"),          # seed split (0 % 97 == 0)
+        (97, "the dog sat on the cat"),         # seed split too
+        (1, "the cat sat"),                     # fully seed-covered
+        (2, "zzz qqq xxx"),                     # mostly unseen
+        (3, "ab"),                              # < 3 chars -> dropped
+        (4, "   The   CAT  sat  "),             # normalization must fold
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tri"], r["seen_tri"], r["hits"], r["coverage_ppm"])
+        for r in TS.seed_lm_familiarity(df).collect()
+    }
+
+    norm = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in rows}
+    tgs = {
+        i: [s[k : k + 3] for k in range(len(s) - 2)]
+        for i, s in norm.items()
+        if len(s) >= 3
+    }
+    model = Counter(tg for i, l in tgs.items() if i % 97 == 0 for tg in l)
+    want = {}
+    for i, l in tgs.items():
+        n = len(l)
+        seen = sum(1 for tg in l if tg in model)
+        hits = sum(model.get(tg, 0) for tg in l)
+        want[i] = (n, seen, hits, int(1_000_000.0 * seen // n))
+    assert got == want
+    assert 3 not in got                      # short doc dropped
+    assert got[0][3] == 1_000_000            # seed doc covers itself
+    assert got[4] == got[1]                  # normalization folds case/ws
+    assert got[2][1] < got[2][0]             # unseen trigrams exist
+
+
+def test_seed_lm_familiarity_plan_shape(spark):
+    """The scoring join must be a broadcast hash join (the model is
+    bounded charset^3) and the final agg a partial-aggregated groupBy —
+    no window, no Python stage."""
+    df = spark.createDataFrame([(0, "abc def"), (1, "abc xyz")], "doc_id long, text string")
+    plan = TS.seed_lm_familiarity(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
