@@ -3392,6 +3392,44 @@ GROUP BY doc_id
 """
 
 
+# seq_export — curation.pack_token_stream: the GPT-style training-sequence
+# assembly (concatenate each bucket's docs with an EOS per doc, chunk into
+# fixed seq_len windows, fingerprint each window). The oracle re-derives
+# the whole stream — per-bucket offset prefix sum, lateral token unnest,
+# window chunking, ordered md5 — in one SQL statement.
+def _seq_export_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.curation import pack_token_stream
+
+    return pack_token_stream(spark.table("documents"), seq_len=128, n_buckets=8)
+
+
+_SEQ_EXPORT_ORACLE = r"""
+SELECT bucket, CAST(floor(gpos / 128.0) AS INT) AS seq_idx,
+       count(*) AS n_toks,
+       count(DISTINCT doc_id) AS n_docs,
+       md5(string_agg(tok, ' ' ORDER BY gpos, tok)) AS toks_md5
+FROM (
+  SELECT bucket, doc_id, toks[CAST(t.ord AS INT)] AS tok, off + t.ord - 1 AS gpos
+  FROM (
+    SELECT doc_id, bucket, toks,
+           coalesce(sum(len(toks)) OVER (
+             PARTITION BY bucket ORDER BY doc_id, len(toks)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS off
+    FROM (
+      SELECT doc_id,
+             CAST(((doc_id % 8) + 8) % 8 AS INT) AS bucket,
+             list_append(
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
+               '</s>') AS toks
+      FROM documents
+    ) a
+  ) b, unnest(generate_series(1, len(toks))) AS t(ord)
+) c
+GROUP BY bucket, seq_idx
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3411,6 +3449,8 @@ _EXTRAS_SUITE = [
     ("gopher_flags", _gopher_spark),
     # textstats.seed_lm_familiarity — CCNet-style LM scoring, seed-trained
     ("lm_familiarity", _lm_familiarity_spark),
+    # curation.pack_token_stream — fixed-length training-sequence assembly
+    ("seq_export", _seq_export_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3428,6 +3468,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("gopher_flags", _gopher_oracle(), ["doc_id", *_GOPHER_KEYS]),
     ("lm_familiarity", _lm_familiarity_oracle(),
      ["doc_id", "n_tri", "seen_tri", "hits", "coverage_ppm"]),
+    ("seq_export", _SEQ_EXPORT_ORACLE,
+     ["bucket", "seq_idx", "n_toks", "n_docs", "toks_md5"]),
 ]
 
 

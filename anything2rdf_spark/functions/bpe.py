@@ -137,6 +137,41 @@ def default_merges() -> tuple[tuple[str, str], ...]:
     return tuple(train_bpe(DEFAULT_CORPUS, n_merges=256))
 
 
+def encode_text_symbols(
+    text: str, ranks: dict[tuple[str, str], int], cache: dict | None = None
+) -> list[str]:
+    """Subword SYMBOLS of ``text`` (whitespace pre-tokens are segmentation
+    only, not emitted — same convention as encode_text's count)."""
+    out: list[str] = []
+    for w in pretokenize(text):
+        if w.isspace():
+            continue
+        if cache is not None and w in cache:
+            out.extend(cache[w])
+            continue
+        syms = bpe_encode(w, ranks)
+        if cache is not None:
+            cache[w] = syms
+        out.extend(syms)
+    return out
+
+
+def bpe_symbols(text, merges: list[tuple[str, str]] | None = None) -> Column:
+    """Arrow-batched real-BPE SYMBOL array column (the tokenize-to-subwords
+    step training export needs, vs bpe_token_count's count). Same closure-
+    shipped ranks table and per-batch word memoization."""
+    from pyspark.sql import functions as F
+
+    ranks = {p: i for i, p in enumerate(merges if merges is not None else default_merges())}
+
+    @F.pandas_udf("array<string>")
+    def _syms(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        return s.map(lambda t: [] if t is None else encode_text_symbols(t, ranks, cache))
+
+    return _syms(text if isinstance(text, Column) else F.col(text))
+
+
 def bpe_token_count(text, merges: list[tuple[str, str]] | None = None) -> Column:
     """Arrow-batched real-BPE token count column. The merges table rides the
     closure (a few KB broadcast with the task), encodings are memoized

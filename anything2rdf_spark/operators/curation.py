@@ -132,6 +132,90 @@ def pack_documents(
     )
 
 
+def pack_token_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+    eos: str = "</s>",
+    tokenizer: str = "ws",
+) -> DataFrame:
+    """The GPT-style training-sequence assembly step: concatenate each
+    bucket's documents (doc_id order, one ``eos`` token appended per doc)
+    into a token stream and chunk it into fixed ``seq_len`` windows —
+    what ``pack_documents`` assigns, this materializes. Returns one row
+    per sequence: (bucket, seq_idx, n_toks, n_docs, toks_md5) where
+    ``toks_md5`` fingerprints the space-joined token window (tokens are
+    whitespace tokens, so the join is lossless) and the final sequence of
+    a bucket may have ``n_toks < seq_len`` (trailing partial — filter on
+    ``n_toks = seq_len`` for strict training batches).
+
+    ``tokenizer='ws'`` (default) keeps the whole derivation native and
+    SQL-mirrorable; ``tokenizer='bpe'`` swaps in the real-BPE subword
+    symbols (functions.bpe, Arrow-batched pandas UDF) — same downstream
+    plan, pytest-gated instead of oracle-gated.
+
+    Plan at scale, mirroring pack_documents' bucketing argument: the
+    offset prefix-sum is a per-bucket window (scales with ``n_buckets``,
+    raise it with the cluster); the chunking is posexplode → one
+    partial-aggregated groupBy (bucket, seq_idx) — uniform keys sized by
+    ``seq_len``, AQE-splittable, no global order anywhere. Duplicate
+    doc_ids tie-break by token count exactly like pack_documents (tying
+    rows are interchangeable, so the output multiset is deterministic);
+    the in-sequence sort key is (gpos, tok), unique for distinct ids.
+    """
+    if tokenizer == "ws":
+        from .textstats import _ws_tokens
+
+        toks = _ws_tokens(F.col(text_col))
+    elif tokenizer == "bpe":
+        from ..functions.bpe import bpe_symbols
+
+        toks = bpe_symbols(F.col(text_col))
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(toks, F.array(F.lit(eos))).alias("toks"),
+    ).withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
+    d = d.withColumn("n", F.size("toks"))
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id", "n")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = d.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    tok = d.select(
+        "bucket", "doc_id", "off", F.posexplode("toks").alias("pos", "tok")
+    ).select(
+        "bucket",
+        "doc_id",
+        "tok",
+        (F.col("off") + F.col("pos")).alias("gpos"),
+    )
+    tok = tok.withColumn(
+        "seq_idx", F.floor(F.col("gpos") / F.lit(seq_len)).cast("int")
+    )
+    return (
+        tok.groupBy("bucket", "seq_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("toks_md5"),
+        )
+        .select("bucket", "seq_idx", "n_toks", "n_docs", "toks_md5")
+    )
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -505,3 +505,82 @@ def test_seed_lm_familiarity_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _ref_pack_stream(rows, seq_len, n_buckets, tok_fn, eos="</s>"):
+    """Pure-Python reference for pack_token_stream."""
+    import hashlib
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, t in rows:
+        buckets[i % n_buckets].append((i, tok_fn(t) + [eos]))
+    want = {}
+    for b, docs_ in buckets.items():
+        docs_.sort(key=lambda x: (x[0], len(x[1])))
+        stream, owners = [], []
+        for i, toks in docs_:
+            stream.extend(toks)
+            owners.extend([i] * len(toks))
+        for s in range(0, len(stream), seq_len):
+            chunk, own = stream[s : s + seq_len], owners[s : s + seq_len]
+            want[(b, s // seq_len)] = (
+                len(chunk),
+                len(set(own)),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    return want
+
+
+def test_pack_token_stream_matches_python_reference(spark):
+    from anything2rdf_spark.operators.curation import pack_token_stream
+
+    rows = [
+        (0, "aa bb cc dd ee"),
+        (1, "ff gg"),
+        (2, "hh ii jj kk ll mm nn"),
+        (3, ""),                      # empty doc -> just its EOS token
+        (4, "oo pp qq"),
+        (8, "rr ss tt uu vv ww xx yy zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["bucket"], r["seq_idx"]): (r["n_toks"], r["n_docs"], r["toks_md5"])
+        for r in pack_token_stream(df, seq_len=4, n_buckets=4).collect()
+    }
+    want = _ref_pack_stream(rows, 4, 4, lambda t: t.split())
+    assert got == want
+    # cross-doc packing happened: some sequence draws from >1 doc
+    assert any(v[1] > 1 for v in got.values())
+    # every non-trailing sequence is exactly full
+    last_by_bucket = {b: max(s for bb, s in got if bb == b) for b, _ in got}
+    for (b, s), (n, _, _) in got.items():
+        if s < last_by_bucket[b]:
+            assert n == 4
+
+
+def test_pack_token_stream_bpe_variant(spark):
+    from anything2rdf_spark.functions.bpe import (
+        default_merges,
+        encode_text_symbols,
+    )
+    from anything2rdf_spark.operators.curation import pack_token_stream
+
+    rows = [(0, "the farmer keeps the tools"), (1, "reading about history")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["bucket"], r["seq_idx"]): (r["n_toks"], r["n_docs"], r["toks_md5"])
+        for r in pack_token_stream(df, seq_len=8, n_buckets=2, tokenizer="bpe").collect()
+    }
+    ranks = {p: i for i, p in enumerate(default_merges())}
+    want = _ref_pack_stream(rows, 8, 2, lambda t: encode_text_symbols(t, ranks))
+    assert got == want
+
+
+def test_pack_token_stream_plan_shape(spark):
+    from anything2rdf_spark.operators.curation import pack_token_stream
+
+    df = spark.createDataFrame([(0, "a b"), (1, "c")], "doc_id long, text string")
+    plan = pack_token_stream(df, seq_len=4, n_buckets=8)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Window") == 1  # one per-bucket prefix-sum window only
