@@ -3430,6 +3430,55 @@ GROUP BY bucket, seq_idx
 """
 
 
+# dsir_weights — curation.dsir_log_weights: DSIR importance weighting
+# (Xie et al. 2023) with the target split in-corpus (doc_id % 13 == 0).
+# The per-bucket log ratio floors to integer micronats before the per-doc
+# sum, so both engines sum exact integers (order-independent; see the
+# operator docstring). Oracle re-derives featurization (uni+bigrams,
+# md5_60 bucket hash), both smoothed multinomials, and the scoring join.
+def _dsir_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.curation import dsir_log_weights
+
+    return dsir_log_weights(
+        spark.table("documents"), n_features=512, hash_mode="md5_60"
+    )
+
+
+_DSIR_ORACLE = r"""
+WITH ds_toks AS (
+  SELECT doc_id, l[CAST(i AS INT)] AS tok, i AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS l
+        FROM documents),
+       UNNEST(generate_series(1, len(l))) AS g(i)
+),
+ds_feat AS (
+  SELECT doc_id, tok AS ng FROM ds_toks
+  UNION ALL
+  SELECT doc_id, g AS ng FROM (
+    SELECT doc_id, tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM ds_toks) b WHERE g IS NOT NULL
+),
+ds_b AS (
+  SELECT doc_id, doc_id % 13 = 0 AS is_t,
+         ('0x' || substr(md5('7:' || ng), 1, 15))::BIGINT % 512 AS b
+  FROM ds_feat
+),
+ds_dist AS (
+  SELECT b, count(*) AS c_r, count(*) FILTER (WHERE is_t) AS c_t
+  FROM ds_b GROUP BY b
+),
+ds_tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS tot_r, CAST(sum(c_t) AS BIGINT) AS tot_t FROM ds_dist),
+ds_lam AS (
+  SELECT b, CAST(floor(1000000.0 * (ln(c_t + 1) - ln(tot_t + 512) - ln(c_r + 1) + ln(tot_r + 512))) AS BIGINT) AS lam
+  FROM ds_dist, ds_tot
+)
+SELECT doc_id, count(*) AS n_feat, CAST(sum(lam) AS BIGINT) AS logw_micro
+FROM ds_b JOIN ds_lam USING (b)
+GROUP BY doc_id
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3451,6 +3500,8 @@ _EXTRAS_SUITE = [
     ("lm_familiarity", _lm_familiarity_spark),
     # curation.pack_token_stream — fixed-length training-sequence assembly
     ("seq_export", _seq_export_spark),
+    # curation.dsir_log_weights — DSIR importance weighting (Xie 2023)
+    ("dsir_weights", _dsir_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3470,6 +3521,7 @@ _EXTRAS_SUITE_ORACLE = [
      ["doc_id", "n_tri", "seen_tri", "hits", "coverage_ppm"]),
     ("seq_export", _SEQ_EXPORT_ORACLE,
      ["bucket", "seq_idx", "n_toks", "n_docs", "toks_md5"]),
+    ("dsir_weights", _DSIR_ORACLE, ["doc_id", "n_feat", "logw_micro"]),
 ]
 
 

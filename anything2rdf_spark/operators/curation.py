@@ -216,6 +216,92 @@ def pack_token_stream(
     )
 
 
+def dsir_log_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_mod: int = 13,
+    target_col: str | None = None,
+    n_features: int = 2048,
+    seed: int = 7,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by the log likelihood ratio of a TARGET hashed-ngram multinomial to
+    the RAW one, so downstream selection can resample the raw corpus
+    toward the target distribution. Features are lowercased word unigrams
+    + bigrams hashed into ``n_features`` buckets; the target split is
+    in-corpus (``doc_id % target_mod == 0``) unless ``target_col`` names a
+    boolean column. Both multinomials use add-one smoothing. Returns one
+    row per document with ≥ 1 token: (doc_id, n_feat, logw_micro).
+
+    Cross-engine determinism: the per-bucket log ratio is floored to
+    INTEGER micronats once (``lam``), so every per-document score is a sum
+    of integers — exact, order-independent, immune to float-summation
+    reorder across partitions and to last-ulp ``ln`` differences between
+    libm implementations (only a bucket whose true ratio sits within
+    ~1e-10 of a micronat grid line could ever differ, and then by 1).
+
+    Plan at scale: the distribution table partial-aggregates to ≤
+    ``n_features`` rows (map-side combine collapses the token stream
+    before its shuffle), totals are one broadcast row, and scoring is a
+    broadcast join back onto the exploded features + one partial-
+    aggregated groupBy(doc_id) — no window, no Python. The exploded
+    features are computed twice (distribution pass, scoring pass);
+    at 100 TB recomputing a scan-local explode beats persisting it.
+    """
+    from .dedupe import hash64
+    from .textstats import _ws_tokens, word_ngram_array
+
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    feats = F.concat(toks, word_ngram_array(toks, 2))
+    is_t = (
+        F.col(target_col).cast("boolean")
+        if target_col is not None
+        else F.pmod(F.col(id_col), F.lit(target_mod)) == 0
+    )
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            is_t.alias("is_t"),
+            F.explode(feats).alias("ng"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            F.pmod(hash64(F.col("ng"), seed, hash_mode), F.lit(n_features)).alias("b"),
+        )
+    )
+    dist = d.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+    )
+    tot = dist.agg(F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t"))
+    lam = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (
+                F.log(F.col("c_t") + 1)
+                - F.log(F.col("tot_t") + n_features)
+                - F.log(F.col("c_r") + 1)
+                + F.log(F.col("tot_r") + n_features)
+            )
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    return (
+        d.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum("lam").alias("logw_micro"),
+        )
+    )
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",

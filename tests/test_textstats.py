@@ -584,3 +584,84 @@ def test_pack_token_stream_plan_shape(spark):
     plan = pack_token_stream(df, seq_len=4, n_buckets=8)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Window") == 1  # one per-bucket prefix-sum window only
+
+
+def test_dsir_log_weights_matches_python_reference(spark):
+    """dsir_log_weights vs a direct pure-Python re-derivation (md5_60 hash
+    mode so the reference can reproduce bucket assignment)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "the cat sat on the mat"),            # target (0 % 13 == 0)
+        (13, "the dog sat on the mat"),           # target
+        (1, "the cat sat on the mat"),            # raw, target-like
+        (2, "quantum flux capacitor array"),      # raw, target-unlike
+        (3, ""),                                  # empty -> dropped
+    ]
+    B, SEED, MOD = 256, 7, 13
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_feat"], r["logw_micro"])
+        for r in curation_mod().dsir_log_weights(
+            df, n_features=B, seed=SEED, target_mod=MOD, hash_mode="md5_60"
+        ).collect()
+    }
+
+    def h(ng):
+        return int(hashlib.md5(f"{SEED}:{ng}".encode()).hexdigest()[:15], 16) % B
+
+    def feats(t):
+        ws = [w for w in t.lower().strip().split() if w]
+        return ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    c_r, c_t = Counter(), Counter()
+    for i, t in rows:
+        for ng in feats(t):
+            b = h(ng)
+            c_r[b] += 1
+            if i % MOD == 0:
+                c_t[b] += 1
+    tot_r, tot_t = sum(c_r.values()), sum(c_t.values())
+    lam = {
+        b: math.floor(
+            1_000_000.0
+            * (
+                math.log(c_t.get(b, 0) + 1)
+                - math.log(tot_t + B)
+                - math.log(c_r[b] + 1)
+                + math.log(tot_r + B)
+            )
+        )
+        for b in c_r
+    }
+    want = {}
+    for i, t in rows:
+        fs = feats(t)
+        if fs:
+            want[i] = (len(fs), sum(lam[h(ng)] for ng in fs))
+    assert got == want
+    assert 3 not in got
+    # the target-like raw doc must outscore the target-unlike one
+    assert got[1][1] > got[2][1]
+
+
+def curation_mod():
+    from anything2rdf_spark.operators import curation
+
+    return curation
+
+
+def test_dsir_plan_shape(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "c d")], "doc_id long, text string")
+    plan = (
+        curation_mod()
+        .dsir_log_weights(df, n_features=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
