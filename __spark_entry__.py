@@ -3430,6 +3430,52 @@ GROUP BY bucket, seq_idx
 """
 
 
+# para_strip — dedupe.strip_duplicate_paragraphs: the ACTION for
+# paragraph dedup (CCNet first-occurrence-wins boilerplate removal),
+# scalarized as md5 + length of the rebuilt text. Shares the paragraph
+# fixture with paragraph_dedup so the folded footer actually strips.
+def _para_strip_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_PARA_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    out = DD.strip_duplicate_paragraphs(docs)
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    )
+
+
+def _para_strip_oracle() -> str:
+    return rf"""
+SELECT b.doc_id,
+       coalesce(s.n_paras, 0) AS n_paras,
+       coalesce(s.n_kept, 0) AS n_kept,
+       md5(coalesce(s.clean_text, '')) AS clean_md5,
+       CAST(len(coalesce(s.clean_text, '')) AS BIGINT) AS clean_len
+FROM ({_extras_docs_sql(_PARA_FIXTURE_ROWS)}) b
+LEFT JOIN (
+  SELECT doc_id,
+         count(*) AS n_paras,
+         count(*) FILTER (WHERE rn = 1) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pidx) FILTER (WHERE rn = 1) AS clean_text
+  FROM (
+    SELECT doc_id, pidx, para,
+           row_number() OVER (PARTITION BY norm ORDER BY doc_id, pidx) AS rn
+    FROM (
+      SELECT doc_id, CAST(t.i AS INT) - 1 AS pidx,
+             parts[CAST(t.i AS INT)] AS para,
+             trim(regexp_replace(lower(parts[CAST(t.i AS INT)]), '\s+', ' ', 'g')) AS norm
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\n{{2,}}') AS parts
+            FROM ({_extras_docs_sql(_PARA_FIXTURE_ROWS)}) z) a,
+           unnest(generate_series(1, len(parts))) AS t(i)
+    ) o WHERE len(norm) >= 1
+  ) f GROUP BY doc_id
+) s ON b.doc_id = s.doc_id
+"""
+
+
 # dsir_weights — curation.dsir_log_weights: DSIR importance weighting
 # (Xie et al. 2023) with the target split in-corpus (doc_id % 13 == 0).
 # The per-bucket log ratio floors to integer micronats before the per-doc
@@ -3502,6 +3548,8 @@ _EXTRAS_SUITE = [
     ("seq_export", _seq_export_spark),
     # curation.dsir_log_weights — DSIR importance weighting (Xie 2023)
     ("dsir_weights", _dsir_spark),
+    # dedupe.strip_duplicate_paragraphs — CCNet boilerplate-removal action
+    ("para_strip", _para_strip_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3522,6 +3570,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("seq_export", _SEQ_EXPORT_ORACLE,
      ["bucket", "seq_idx", "n_toks", "n_docs", "toks_md5"]),
     ("dsir_weights", _DSIR_ORACLE, ["doc_id", "n_feat", "logw_micro"]),
+    ("para_strip", _para_strip_oracle(),
+     ["doc_id", "n_paras", "n_kept", "clean_md5", "clean_len"]),
 ]
 
 

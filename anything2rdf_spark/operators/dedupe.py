@@ -428,6 +428,69 @@ def paragraph_duplicates(
     )
 
 
+def strip_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_re: str = r"\n{2,}",
+    min_chars: int = 1,
+) -> DataFrame:
+    """The ACTION for paragraph-level dedup (what paragraph_duplicates
+    detects): remove every paragraph occurrence except the corpus-wide
+    FIRST one — CCNet's boilerplate-removal rule, first = lowest
+    (doc_id, paragraph_index). Paragraphs compare by normalized text
+    (lowercase, whitespace collapsed) but documents rebuild from the
+    ORIGINAL paragraph text, kept occurrences joined with a blank line.
+    Returns one row per input document: (doc_id, n_paras, n_kept,
+    clean_text) — n_paras counts non-empty paragraphs, and a document
+    whose every paragraph was stripped (or that had none) comes back with
+    clean_text = ''.
+
+    Plan at scale: the canonical-first table is a partial-aggregated
+    ``groupBy(norm).agg(min(struct(doc_id, pidx)))`` — the same skew-safe
+    shape as exact_duplicates (a viral boilerplate paragraph collapses
+    map-side; no window over the hash); the join back is an equi-join on
+    the normalized paragraph (AQE-skew-splittable); then ONE
+    partial-aggregated groupBy(doc_id) rebuilds documents, and a left
+    join restores zero-paragraph docs.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    occ = (
+        base.select(
+            "doc_id", F.posexplode(F.split("text", sep_re)).alias("pidx", "para")
+        )
+        .withColumn("norm", normalized_text(F.col("para")))
+        .filter(F.length("norm") >= min_chars)
+    )
+    canon = occ.groupBy("norm").agg(
+        F.min(F.struct("doc_id", "pidx")).alias("first")
+    )
+    flagged = occ.join(canon, "norm").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pidx") == F.col("first.pidx")),
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pidx", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("clean_text"),
+    )
+    return base.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def substring_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -297,3 +297,41 @@ def test_strip_duplicate_spans(spark):
     )
     out3 = {r["doc_id"]: r["text"] for r in strip_duplicate_spans(df, manual).collect()}
     assert out3[3] == orig[3][:9] + orig[3][39:]        # union [10,39] removed once
+
+
+def test_strip_duplicate_paragraphs(spark):
+    """First-occurrence-wins across docs; case/ws folds for comparison but
+    originals rebuild; fully-stripped and paragraph-less docs come back
+    with clean_text = ''."""
+    from anything2rdf_spark.operators.dedupe import strip_duplicate_paragraphs
+
+    rows = [
+        (1, "intro one\n\nShared Footer\n\nbody alpha"),
+        (2, "intro two\n\nshared   footer"),      # footer folds -> stripped
+        (3, "SHARED FOOTER"),                      # only para is a dup -> ''
+        (4, ""),                                   # no paragraphs at all
+        (5, "intro one"),                          # dup of doc 1's first para
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in strip_duplicate_paragraphs(df).collect()
+    }
+    assert got[1] == (3, 3, "intro one\n\nShared Footer\n\nbody alpha")
+    assert got[2] == (2, 1, "intro two")
+    assert got[3] == (1, 0, "")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (1, 0, "")
+
+
+def test_strip_duplicate_paragraphs_plan_shape(spark):
+    from anything2rdf_spark.operators.dedupe import strip_duplicate_paragraphs
+
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    plan = (
+        strip_duplicate_paragraphs(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # canonical-first must be the skew-safe agg
