@@ -3430,6 +3430,31 @@ GROUP BY bucket, seq_idx
 """
 
 
+# group_cap — curation.cap_per_group: RefinedWeb-style per-domain caps as
+# a skew-safe salted two-phase top-k; the oracle is the PLAIN single
+# row_number window — the two-phase plan must reproduce it exactly.
+def _group_cap_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.curation import cap_per_group
+
+    return cap_per_group(
+        spark.table("documents"), by="source", cap=20, hash_mode="md5_60"
+    )
+
+
+_GROUP_CAP_ORACLE = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM (
+    SELECT source, doc_id,
+           ('0x' || substr(md5('11:' ||
+              coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15))::BIGINT AS h
+    FROM documents
+  ) a
+) b WHERE rn <= 20
+"""
+
+
 # para_strip — dedupe.strip_duplicate_paragraphs: the ACTION for
 # paragraph dedup (CCNet first-occurrence-wins boilerplate removal),
 # scalarized as md5 + length of the rebuilt text. Shares the paragraph
@@ -3550,6 +3575,8 @@ _EXTRAS_SUITE = [
     ("dsir_weights", _dsir_spark),
     # dedupe.strip_duplicate_paragraphs — CCNet boilerplate-removal action
     ("para_strip", _para_strip_spark),
+    # curation.cap_per_group — per-domain caps, salted two-phase top-k
+    ("group_cap", _group_cap_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3572,6 +3599,7 @@ _EXTRAS_SUITE_ORACLE = [
     ("dsir_weights", _DSIR_ORACLE, ["doc_id", "n_feat", "logw_micro"]),
     ("para_strip", _para_strip_oracle(),
      ["doc_id", "n_paras", "n_kept", "clean_md5", "clean_len"]),
+    ("group_cap", _GROUP_CAP_ORACLE, ["source", "doc_id"]),
 ]
 
 

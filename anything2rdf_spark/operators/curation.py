@@ -216,6 +216,54 @@ def pack_token_stream(
     )
 
 
+def cap_per_group(
+    docs: DataFrame,
+    by: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 11,
+    salt_buckets: int = 16,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-group document caps (the RefinedWeb/C4 per-domain limit):
+    deterministically keep at most ``cap`` documents per ``by`` group —
+    the ones with the smallest seeded hash, so the selection is a stable
+    uniform sample independent of partition layout. Returns the kept
+    rows: (group, doc_id).
+
+    Skew-safe top-k: a single ``row_number`` window over the group key
+    serializes a viral group (one domain with 10⁹ docs) into one task,
+    and AQE cannot split windows — so selection runs in two phases:
+    a per-(group, salt) window keeps each salt bucket's top ``cap``
+    (bounding any task at the bucket's share), then a per-group window
+    over the ≤ ``salt_buckets * cap`` survivors picks the final top
+    ``cap``. Both phases order by the same total order (hash, id), so
+    the result is EXACTLY the global per-group top-cap — the two-phase
+    split changes the plan, never the answer. Raise ``salt_buckets``
+    with the cluster.
+    """
+    from pyspark.sql import Window
+
+    from .dedupe import hash64
+
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    d = docs.select(
+        F.col(by).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        hash64(key, seed, hash_mode).alias("h"),
+    )
+    w1 = Window.partitionBy(
+        "grp", F.pmod(F.col("h"), F.lit(salt_buckets))
+    ).orderBy("h", "doc_id")
+    d = d.withColumn("rn1", F.row_number().over(w1)).filter(F.col("rn1") <= cap)
+    w2 = Window.partitionBy("grp").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= cap)
+        .select(F.col("grp").alias(by), "doc_id")
+    )
+
+
 def dsir_log_weights(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -665,3 +665,37 @@ def test_dsir_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_cap_per_group_matches_single_window(spark):
+    """Two-phase salted top-k must equal the plain global per-group top-k,
+    be deterministic, and bound every group at cap."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, f"g{rng.randint(0, 3)}") for i in range(200)]
+    rows += [(1000 + i, "hot") for i in range(80)]     # one viral group
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["source"], r["doc_id"])
+        for r in curation_mod().cap_per_group(df, cap=5, salt_buckets=4).collect()
+    }
+
+    from pyspark.sql import Window
+
+    from anything2rdf_spark.operators.dedupe import hash64
+
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    want = {
+        (r["source"], r["doc_id"])
+        for r in df.withColumn("h", hash64(F.col("doc_id").cast("string"), 11))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert got == want
+    per_group = {}
+    for g, _ in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group["hot"] == 5
+    assert all(v <= 5 for v in per_group.values())
