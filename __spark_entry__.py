@@ -3455,6 +3455,37 @@ SELECT source, doc_id FROM (
 """
 
 
+# fuzzy_verdicts — dedupe.fuzzy_dedup_verdicts: the keep/drop ACTION for
+# the MinHash family (LSH pairs → distributed union-find → canonical member
+# keeps), completing detect→act for near-dup clusters the way para_strip
+# does for paragraphs. Same fixture slice and parameters as
+# dedup_minhash_lsh / dedup_clusters, so the oracle chains _MINHASH_ORACLE
+# through the recursive transitive closure and issues the per-doc verdict.
+def _fuzzy_verdicts_spark(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents").filter("doc_id < 200")
+    return DD.fuzzy_dedup_verdicts(
+        docs, shingle_n=3, num_hashes=8, bands=4, hash_mode="md5_60"
+    )
+
+
+_FUZZY_VERDICTS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT a AS node, a AS reached FROM und
+  UNION SELECT b, b FROM und
+  UNION
+  SELECT r.node, u.b AS reached FROM reach r JOIN und u ON r.reached = u.a
+),
+comp AS (SELECT node, min(reached) AS canon FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.canon, d.doc_id) AS cluster_id,
+       (c.canon IS NULL OR d.doc_id = c.canon) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
 # para_strip — dedupe.strip_duplicate_paragraphs: the ACTION for
 # paragraph dedup (CCNet first-occurrence-wins boilerplate removal),
 # scalarized as md5 + length of the rebuilt text. Shares the paragraph
@@ -3577,6 +3608,8 @@ _EXTRAS_SUITE = [
     ("para_strip", _para_strip_spark),
     # curation.cap_per_group — per-domain caps, salted two-phase top-k
     ("group_cap", _group_cap_spark),
+    # dedupe.fuzzy_dedup_verdicts — MinHash cluster keep/drop action
+    ("fuzzy_verdicts", _fuzzy_verdicts_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3600,6 +3633,7 @@ _EXTRAS_SUITE_ORACLE = [
     ("para_strip", _para_strip_oracle(),
      ["doc_id", "n_paras", "n_kept", "clean_md5", "clean_len"]),
     ("group_cap", _GROUP_CAP_ORACLE, ["source", "doc_id"]),
+    ("fuzzy_verdicts", _FUZZY_VERDICTS_ORACLE, ["doc_id", "cluster_id", "keep"]),
 ]
 
 

@@ -651,3 +651,61 @@ def strip_duplicate_spans(
     return d.withColumn(
         text_col, F.when(F.col("_iv").isNull(), t).otherwise(splice(F.col("_iv")))
     ).drop("_iv")
+
+
+def fuzzy_dedup_verdicts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """The dedup ACTION for the MinHash family: a keep/drop verdict per
+    document from LSH candidate pairs chained through the distributed
+    union-find — the standard fuzzy-dedup workflow (MinHash banding per
+    Leskovec/Rajaraman/Ullman MMDS ch.3; cluster-then-keep-one as applied
+    to LLM corpora by Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"). Completes detect→act for MinHash the way
+    ``strip_duplicate_spans`` does for substring dedup and
+    ``strip_duplicate_paragraphs`` does for paragraph dedup.
+
+    Returns one row per input document: ``(id_col, cluster_id, keep)`` where
+    ``cluster_id`` is the component's canonical (min) id — a singleton doc is
+    its own cluster — and ``keep`` is true exactly for the canonical member.
+    ``df.join(verdicts, id_col).filter("keep")`` is the filtered corpus.
+
+    Plan at scale: the component map covers only documents that appear in at
+    least one candidate pair — a small fraction of a real corpus — so the
+    final step is one hash join (AQE-splittable, broadcast when the cluster
+    map is dimension-sized) against the full document set; the corpus text
+    itself is scanned once by the signature stage and never shuffled.
+    ``max_bucket`` semantics are inherited from ``minhash_lsh_candidates``
+    (default-on hot-bucket cap ⇒ subset-under-degeneracy candidates).
+    """
+    from .canonicalize import connected_components
+
+    pairs = minhash_lsh_candidates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_mode=hash_mode,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(pairs, src="a", dst="b").select(
+        F.col("node_id").alias(id_col), F.col("canonical_id").alias("_canon")
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_canon", F.col(id_col)).alias("cluster_id"),
+            (F.col("_canon").isNull() | (F.col(id_col) == F.col("_canon"))).alias("keep"),
+        )
+    )

@@ -335,3 +335,29 @@ def test_strip_duplicate_paragraphs_plan_shape(spark):
         .toString()
     )
     assert "Window" not in plan  # canonical-first must be the skew-safe agg
+
+
+def test_fuzzy_dedup_verdicts(spark):
+    """Near-identical docs cluster transitively; exactly the min-id member
+    of each cluster keeps; singletons keep themselves as their own cluster."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base + " again"),                    # near-dup of 1
+        (3, base.replace("quick", "quick red")), # near-dup of 1 (and of 2 via 1)
+        (4, "completely unrelated text about distributed query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in DD.fuzzy_dedup_verdicts(df, shingle_n=3, num_hashes=16, bands=8).collect()
+    }
+    assert len(got) == 4                      # one verdict per input doc
+    assert got[4] == (4, True)                # singleton keeps itself
+    assert got[1] == (1, True)                # canonical member of the cluster
+    assert got[2] == (1, False) and got[3] == (1, False)
+    # the filtered corpus is exactly the canonical members
+    kept = {r["doc_id"] for r in DD.fuzzy_dedup_verdicts(
+        df, shingle_n=3, num_hashes=16, bands=8
+    ).filter("keep").collect()}
+    assert kept == {1, 4}
