@@ -3392,6 +3392,37 @@ GROUP BY doc_id
 """
 
 
+# lm_buckets — textstats.lm_quality_buckets: CCNet head/middle/tail tercile
+# partitioning (Wenzek et al. 2020 §4.3) over the familiarity score.
+# Discrete thresholds at cumulative ceil(n/3)/ceil(2n/3) — integer
+# comparisons only, so both engines compute identical cuts; shares the LM
+# fixture so seed/variant/unseen docs land in distinct buckets.
+def _lm_buckets_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_LM_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return TS.lm_quality_buckets(docs)
+
+
+def _lm_buckets_oracle() -> str:
+    return rf"""
+WITH lm AS ({_lm_familiarity_oracle()}),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+  FROM (SELECT coverage_ppm AS v, count(*) AS c FROM lm GROUP BY coverage_ppm) h
+),
+thr AS (
+  SELECT min(v) FILTER (WHERE cum >= CAST(floor((n + 2) / 3) AS BIGINT)) AS t1,
+         min(v) FILTER (WHERE cum >= CAST(floor((2 * n + 2) / 3) AS BIGINT)) AS t2
+  FROM cum
+)
+SELECT lm.doc_id, lm.coverage_ppm,
+       CASE WHEN lm.coverage_ppm <= thr.t1 THEN 'tail'
+            WHEN lm.coverage_ppm <= thr.t2 THEN 'middle'
+            ELSE 'head' END AS lm_bucket
+FROM lm, thr
+"""
+
+
 # seq_export — curation.pack_token_stream: the GPT-style training-sequence
 # assembly (concatenate each bucket's docs with an EOS per doc, chunk into
 # fixed seq_len windows, fingerprint each window). The oracle re-derives
@@ -3610,6 +3641,8 @@ _EXTRAS_SUITE = [
     ("group_cap", _group_cap_spark),
     # dedupe.fuzzy_dedup_verdicts — MinHash cluster keep/drop action
     ("fuzzy_verdicts", _fuzzy_verdicts_spark),
+    # textstats.lm_quality_buckets — CCNet head/middle/tail terciles
+    ("lm_buckets", _lm_buckets_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3634,6 +3667,7 @@ _EXTRAS_SUITE_ORACLE = [
      ["doc_id", "n_paras", "n_kept", "clean_md5", "clean_len"]),
     ("group_cap", _GROUP_CAP_ORACLE, ["source", "doc_id"]),
     ("fuzzy_verdicts", _FUZZY_VERDICTS_ORACLE, ["doc_id", "cluster_id", "keep"]),
+    ("lm_buckets", _lm_buckets_oracle(), ["doc_id", "coverage_ppm", "lm_bucket"]),
 ]
 
 

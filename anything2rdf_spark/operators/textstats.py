@@ -458,3 +458,64 @@ def seed_lm_familiarity(
             .alias("coverage_ppm"),
         )
     )
+
+
+def lm_quality_buckets(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_mod: int = 97,
+):
+    """CCNet head/middle/tail partitioning (Wenzek et al., LREC 2020 §4.3):
+    split the corpus into quality terciles by the LM familiarity score so a
+    training run can sample the "head" harder — the published pipeline's
+    perplexity buckets, re-based on ``seed_lm_familiarity``'s coverage_ppm
+    (higher = more familiar = head). Returns one row per scored document:
+    ``(doc_id, coverage_ppm, lm_bucket)`` with lm_bucket ∈ head/middle/tail.
+
+    Tercile boundaries are DISCRETE (no interpolation — integer comparisons
+    only, so Spark and any mirror engine agree bit-for-bit): with T1/T2 the
+    smallest scores whose cumulative count reaches ceil(n/3) / ceil(2n/3),
+
+      tail:   score <= T1,  middle: T1 < score <= T2,  head: score > T2
+
+    Ties share a bucket (a value straddling a boundary goes entirely to the
+    lower bucket), so bucket sizes are thirds only up to tie mass — the
+    deterministic trade CCNet itself makes when it cuts on a score value.
+
+    Plan at scale: the boundary computation runs on the score HISTOGRAM,
+    not the corpus — coverage_ppm has at most 1e6+1 distinct values, so the
+    ordered cumulative window sees a bounded (≤1e6-row) single partition no
+    matter the input size, the same bounded-dimension exemption the IVF
+    centroid step uses. The corpus itself takes one partial-aggregated
+    groupBy (the histogram) plus one broadcast join of the 1-row threshold
+    table; nothing collects to the driver.
+    """
+    from pyspark.sql import Window as W
+
+    lm = seed_lm_familiarity(docs, id_col=id_col, text_col=text_col, seed_mod=seed_mod)
+    hist = lm.groupBy(F.col("coverage_ppm").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    n = lm.agg(F.count(F.lit(1)).alias("n"))
+    thr = (
+        cum.crossJoin(n)
+        .agg(
+            # ceil(n/3) = floor((n+2)/3): n+2 ≤ 2^53 so the double division
+            # floors exactly, and the same spelling is exact in DuckDB
+            F.min(F.when(F.col("cum") >= F.floor((F.col("n") + 2) / 3).cast("long"), F.col("v"))).alias("t1"),
+            F.min(F.when(F.col("cum") >= F.floor((2 * F.col("n") + 2) / 3).cast("long"), F.col("v"))).alias("t2"),
+        )
+    )
+    return lm.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "coverage_ppm",
+        F.when(F.col("coverage_ppm") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("coverage_ppm") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("lm_bucket"),
+    )

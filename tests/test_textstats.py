@@ -699,3 +699,59 @@ def test_cap_per_group_matches_single_window(spark):
         per_group[g] = per_group.get(g, 0) + 1
     assert per_group["hot"] == 5
     assert all(v <= 5 for v in per_group.values())
+
+
+def test_lm_quality_buckets_matches_python_reference(spark):
+    """Tercile bucketing vs a direct pure-Python re-derivation: discrete
+    thresholds T1/T2 at cumulative ceil(n/3)/ceil(2n/3), ties to the lower
+    bucket, monotone in the score."""
+    import math
+    from collections import Counter
+
+    rows = [(0, "the cat sat on the mat"), (97, "the dog sat on the cat")] + [
+        (i, txt)
+        for i, txt in enumerate(
+            [
+                "the cat sat",                    # high coverage
+                "the dog sat on",                 # high coverage
+                "zzz qqq xxx",                    # low
+                "vvv www uuu",                    # low
+                "the cat zzz",                    # middle-ish
+                "on the qqq",                     # middle-ish
+                "sat on the mat here",            # high-ish
+                "mmm nnn ooo",                    # low
+                "ppp rrr sss",                    # low
+                "the zzz qqq vvv",                # low-middle
+                "cat sat qqq www",                # middle
+            ],
+            start=1,
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["coverage_ppm"], r["lm_bucket"])
+        for r in TS.lm_quality_buckets(df).collect()
+    }
+
+    norm = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in rows}
+    tgs = {i: [s[k : k + 3] for k in range(len(s) - 2)] for i, s in norm.items() if len(s) >= 3}
+    model = Counter(tg for i, l in tgs.items() if i % 97 == 0 for tg in l)
+    score = {
+        i: int(1_000_000.0 * sum(1 for tg in l if tg in model) // len(l))
+        for i, l in tgs.items()
+    }
+    vals = sorted(score.values())
+    n = len(vals)
+    t1 = vals[math.ceil(n / 3) - 1]
+    t2 = vals[math.ceil(2 * n / 3) - 1]
+    want = {
+        i: (v, "tail" if v <= t1 else ("middle" if v <= t2 else "head"))
+        for i, v in score.items()
+    }
+    assert got == want
+    buckets = {b for _, b in got.values()}
+    assert buckets == {"tail", "middle", "head"}
+    # monotone: every head score > every middle score > every tail score
+    by = lambda b: [v for v, bb in got.values() if bb == b]
+    assert min(by("head")) > max(by("middle")) > max(by("tail"))
+    assert min(by("head")) > t2 and max(by("tail")) <= t1
