@@ -1109,20 +1109,46 @@ WHERE bit_count(xor(l.sig, r.sig)) <= 8
 """
 
 
-# text_tokens — operators.textstats token counters
+# text_tokens — operators.textstats token counters. The fixture rows ride
+# along so the script-aware counter's CJK path (char-per-token for
+# Han/kana, whitespace for the segmented remainder) is exercised by the
+# gate — the synthetic corpus is Latin-only.
+_TOKENS_FIXTURE_ROWS = [
+    (3000001, "机器学习模型需要大量训练数据"),               # pure Han: 13 chars
+    (3000002, "データは大規模な処理が必要です"),             # ja: kana+han mix
+    (3000003, "mixed 中文 and english 文本 here"),          # CJK islands in Latin
+    (3000004, "한국어 문장은 공백으로 나뉜다"),              # Hangul: ws path
+]
+
+
 def _tokens_spark(spark: SparkSession) -> DataFrame:
-    return spark.table("documents").select(
+    fixture = spark.createDataFrame(_TOKENS_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return docs.select(
         "doc_id",
         TS.ws_token_count("text").alias("ws_tokens"),
         TS.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        TS.script_aware_token_count("text").alias("sa_tokens"),
     )
 
 
-_TOKENS_ORACLE = r"""
+def _tokens_oracle() -> str:
+    cjk = r"[\p{Han}\p{Hiragana}\p{Katakana}]"
+    ws = lambda e: (
+        rf"CASE WHEN trim({e}) = '' THEN 0 "
+        rf"ELSE len(regexp_split_to_array(trim({e}), '\s+')) END"
+    )
+    return rf"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
-FROM documents
+       {ws('text')} AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+       len(regexp_extract_all(text, '{cjk}'))
+         + ({ws(f"regexp_replace(text, '{cjk}', ' ', 'g')")}) AS sa_tokens
+FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), text FROM {_sql_values(_TOKENS_FIXTURE_ROWS, "doc_id, text")}
+) u
 """
 
 
@@ -3930,7 +3956,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
         "dedup_minhash_lsh": _MINHASH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
-        "text_tokens": _TOKENS_ORACLE,
+        "text_tokens": _tokens_oracle(),
         "text_repetition": _REP_ORACLE,
         "text_top_ngrams": _TOPNG_ORACLE,
         "dedup_contamination": _contam_oracle(),

@@ -68,6 +68,23 @@ def bpe_ish_token_count(text) -> Column:
     return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_TOKEN_RE), 0)).cast("int")
 
 
+def script_aware_token_count(text) -> Column:
+    """Token count that stays meaningful on unsegmented scripts: Han and
+    kana text carries no spaces, so ``ws_token_count`` calls a whole
+    Chinese/Japanese sentence ONE token — the same blindness the script
+    pre-stage fixed for lang_id. The standard heuristic (used by the mC4 /
+    PaLM data-accounting tradition): each Han/Hiragana/Katakana character
+    counts as one token, everything else whitespace-counts after those
+    characters are blanked. Hangul, Arabic, Cyrillic and Greek are
+    space-segmented, so they stay on the whitespace path. One native
+    regexp_count + regexp_replace — codegen-stage, no UDF."""
+    t = _c(text)
+    cjk = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]"
+    return (
+        F.regexp_count(t, F.lit(cjk)) + ws_token_count(F.regexp_replace(t, cjk, " "))
+    ).cast("int")
+
+
 def _tokens(text) -> Column:
     return F.filter(F.split(F.lower(_c(text)), r"[^\p{L}]+"), lambda t: t != "")
 

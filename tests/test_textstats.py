@@ -755,3 +755,19 @@ def test_lm_quality_buckets_matches_python_reference(spark):
     by = lambda b: [v for v, bb in got.values() if bb == b]
     assert min(by("head")) > max(by("middle")) > max(by("tail"))
     assert min(by("head")) > t2 and max(by("tail")) <= t1
+
+
+def test_script_aware_token_count(spark):
+    rows = [
+        ("han", "机器学习模型", 6),               # 6 Han chars, no spaces
+        ("ja", "データは大規模", 7),              # kana+han mix: 7 chars
+        ("mixed", "mixed 中文 and 文本 here", 7), # 3 Latin words + 4 CJK chars
+        ("hangul", "한국어 문장은 공백으로", 3),   # Hangul stays whitespace-counted
+        ("latin", "plain english text", 3),
+        ("empty", "", 0),
+    ]
+    df = spark.createDataFrame([(k, t) for k, t, _ in rows], "k string, t string")
+    got = {r["k"]: r["n"] for r in
+           df.select("k", TS.script_aware_token_count("t").alias("n")).collect()}
+    for k, _, want in rows:
+        assert got[k] == want, (k, got[k], want)
