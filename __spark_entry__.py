@@ -3638,6 +3638,34 @@ GROUP BY doc_id
 """
 
 
+# dsir_resample — curation.dsir_resample: the DSIR selection ACTION
+# (Gumbel top-k importance resampling, deterministic hash-uniform draw).
+# The oracle chains _DSIR_ORACLE through the same u/g/key derivation and
+# the same (key desc, id asc) LIMIT — both engines on the floor grid.
+def _dsir_resample_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.curation import dsir_resample
+
+    return dsir_resample(
+        spark.table("documents"), k=40, n_features=512,
+        sample_seed=101, hash_mode="md5_60",
+    )
+
+
+_DSIR_RESAMPLE_ORACLE = f"""
+WITH lw AS ({_DSIR_ORACLE}),
+keyed AS (
+  SELECT doc_id, n_feat, logw_micro,
+         logw_micro + CAST(floor(1000000.0 * -ln(-ln(
+           greatest((('0x' || substr(md5('101:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+                    / 1152921504606846976.0, power(2.0, -60))
+         ))) AS BIGINT) AS key_micro
+  FROM lw
+)
+SELECT doc_id, n_feat, logw_micro, key_micro
+FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 40
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3669,6 +3697,8 @@ _EXTRAS_SUITE = [
     ("fuzzy_verdicts", _fuzzy_verdicts_spark),
     # textstats.lm_quality_buckets — CCNet head/middle/tail terciles
     ("lm_buckets", _lm_buckets_spark),
+    # curation.dsir_resample — Gumbel top-k DSIR selection action
+    ("dsir_resample", _dsir_resample_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3694,6 +3724,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("group_cap", _GROUP_CAP_ORACLE, ["source", "doc_id"]),
     ("fuzzy_verdicts", _FUZZY_VERDICTS_ORACLE, ["doc_id", "cluster_id", "keep"]),
     ("lm_buckets", _lm_buckets_oracle(), ["doc_id", "coverage_ppm", "lm_bucket"]),
+    ("dsir_resample", _DSIR_RESAMPLE_ORACLE,
+     ["doc_id", "n_feat", "logw_micro", "key_micro"]),
 ]
 
 

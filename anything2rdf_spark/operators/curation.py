@@ -392,3 +392,52 @@ def hash_split(
         chain = F.when(cond, name) if chain is None else chain.when(cond, name)
     label = chain.otherwise(items[-1][0]) if chain is not None else F.lit(items[-1][0])
     return docs.withColumn("split", label)
+
+
+def dsir_resample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_seed: int = 101,
+    hash_mode: str = "xxhash64",
+    **dsir_kwargs,
+) -> DataFrame:
+    """The DSIR selection ACTION (Xie et al. 2023 §2.2): Gumbel top-k
+    importance resampling — draw k documents WITHOUT replacement with
+    probability proportional to softmax(log w) by perturbing each score
+    with an independent Gumbel noise term and taking the global top-k
+    (Vieira 2014's Gumbel-max trick, the estimator the DSIR paper uses).
+    Completes detect→act for ``dsir_log_weights`` the way
+    ``fuzzy_dedup_verdicts`` completes MinHash.
+
+    The "noise" is DETERMINISTIC: u = hash-uniform(id, sample_seed) in
+    (0, 1), g = -ln(-ln(u)), key_micro = logw_micro + floor(1e6·g) — the
+    same draw for the same (id, seed) on any cluster size or partition
+    layout, so the selection is reproducible end-to-end. Ties on key_micro
+    break by ascending id. Returns the selected rows:
+    ``(doc_id, n_feat, logw_micro, key_micro)``.
+
+    Plan at scale: scoring is ``dsir_log_weights``'s plan; the top-k is
+    ``ORDER BY … LIMIT k`` which Spark executes as TakeOrderedAndProject —
+    per-partition top-k then a k·partitions driver merge, no global sort
+    shuffle. For k beyond driver comfort (≫10⁷), pre-filter by a key
+    threshold from ``approx_quantile`` first and top-k the survivors.
+    """
+    from .dedupe import hash64
+
+    w = dsir_log_weights(
+        docs, id_col=id_col, text_col=text_col, hash_mode=hash_mode, **dsir_kwargs
+    )
+    h = hash64(F.col("doc_id").cast("string"), sample_seed, hash_mode)
+    if hash_mode == "md5_60":
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    else:
+        u = h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    u = F.greatest(u, F.lit(2.0**-60))  # xxhash64 can land exactly on 0
+    key = F.col("logw_micro") + F.floor(F.lit(1_000_000.0) * -F.log(-F.log(u))).cast("long")
+    return (
+        w.withColumn("key_micro", key)
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(k)
+    )

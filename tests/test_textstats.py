@@ -771,3 +771,68 @@ def test_script_aware_token_count(spark):
            df.select("k", TS.script_aware_token_count("t").alias("n")).collect()}
     for k, _, want in rows:
         assert got[k] == want, (k, got[k], want)
+
+
+def test_dsir_resample_matches_python_reference(spark):
+    """Gumbel top-k selection vs a pure-Python re-derivation: same md5_60
+    hash-uniform draw, same -ln(-ln(u)) perturbation, same floor grid, same
+    (key desc, id asc) ordering — the selected SET and keys must agree."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (13, "the dog sat on the mat"),
+        (1, "the cat sat on the mat"),
+        (2, "quantum flux capacitor array"),
+        (3, "the cat ran to the dog"),
+        (4, "flux array quantum mat"),
+        (5, "the mat sat on the cat"),
+    ]
+    B, SEED, MOD, SSEED, K = 256, 7, 13, 101, 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["logw_micro"], r["key_micro"])
+        for r in curation_mod().dsir_resample(
+            df, k=K, n_features=B, seed=SEED, target_mod=MOD,
+            sample_seed=SSEED, hash_mode="md5_60",
+        ).collect()
+    }
+
+    def h60(s, seed):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    def feats(t):
+        ws = [w for w in t.lower().strip().split() if w]
+        return ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    c_r, c_t = Counter(), Counter()
+    for i, t in rows:
+        for ng in feats(t):
+            b = h60(ng, SEED) % B
+            c_r[b] += 1
+            if i % MOD == 0:
+                c_t[b] += 1
+    tot_r, tot_t = sum(c_r.values()), sum(c_t.values())
+    lam = {
+        b: math.floor(1_000_000.0 * (
+            math.log(c_t.get(b, 0) + 1) - math.log(tot_t + B)
+            - math.log(c_r[b] + 1) + math.log(tot_r + B)))
+        for b in c_r
+    }
+    keys = {}
+    for i, t in rows:
+        fs = feats(t)
+        if not fs:
+            continue
+        logw = sum(lam[h60(ng, SEED) % B] for ng in fs)
+        u = max((h60(str(i), SSEED) + 0.5) / 2.0**60, 2.0**-60)
+        keys[i] = (logw, logw + math.floor(1_000_000.0 * -math.log(-math.log(u))))
+    want_ids = sorted(keys, key=lambda i: (-keys[i][1], i))[:K]
+    assert got == {i: keys[i] for i in want_ids}
+    # determinism: a second run selects the identical set
+    again = {r["doc_id"] for r in curation_mod().dsir_resample(
+        df, k=K, n_features=B, seed=SEED, target_mod=MOD,
+        sample_seed=SSEED, hash_mode="md5_60").collect()}
+    assert again == set(got)
