@@ -3666,6 +3666,40 @@ FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 40
 """
 
 
+# domain_block — curation.domain_block_verdicts: C4-style URL blocklist
+# verdicts with parent-domain (suffix) matching; shares the URL fixture so
+# exact-hit / subdomain-hit / clean / no-URL paths all ride the gate.
+_BLOCKLIST = ["example.com", "missing.net"]
+
+
+def _domain_block_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.curation import domain_block_verdicts
+
+    fixture = spark.createDataFrame(_URL_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return domain_block_verdicts(docs, _BLOCKLIST)
+
+
+def _domain_block_oracle() -> str:
+    bl = ", ".join(_lit(d) for d in _BLOCKLIST)
+    return rf"""
+WITH src AS ({_extras_docs_sql(_URL_FIXTURE_ROWS)}),
+doms AS (
+  SELECT doc_id, lower(d) AS dom
+  FROM src, unnest(regexp_extract_all(text, {_lit(TS.URL_DOMAIN_RE)}, 1)) AS u(d)
+),
+sufs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(l, CAST(t.i AS INT), len(l)), '.') AS bd
+  FROM (SELECT doc_id, string_split(dom, '.') AS l FROM doms) x,
+       unnest(generate_series(1, greatest(len(l) - 1, 1))) AS t(i)
+),
+hit AS (SELECT DISTINCT doc_id FROM sufs WHERE bd IN ({bl}))
+SELECT s.doc_id, h.doc_id IS NOT NULL AS blocked
+FROM src s LEFT JOIN hit h ON s.doc_id = h.doc_id
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3699,6 +3733,8 @@ _EXTRAS_SUITE = [
     ("lm_buckets", _lm_buckets_spark),
     # curation.dsir_resample — Gumbel top-k DSIR selection action
     ("dsir_resample", _dsir_resample_spark),
+    # curation.domain_block_verdicts — C4-style URL blocklist filtering
+    ("domain_block", _domain_block_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3726,6 +3762,7 @@ _EXTRAS_SUITE_ORACLE = [
     ("lm_buckets", _lm_buckets_oracle(), ["doc_id", "coverage_ppm", "lm_bucket"]),
     ("dsir_resample", _DSIR_RESAMPLE_ORACLE,
      ["doc_id", "n_feat", "logw_micro", "key_micro"]),
+    ("domain_block", _domain_block_oracle(), ["doc_id", "blocked"]),
 ]
 
 

@@ -836,3 +836,24 @@ def test_dsir_resample_matches_python_reference(spark):
         df, k=K, n_features=B, seed=SEED, target_mod=MOD,
         sample_seed=SSEED, hash_mode="md5_60").collect()}
     assert again == set(got)
+
+
+def test_domain_block_verdicts(spark):
+    rows = [
+        (1, "see https://bad.example/page now"),          # exact blocklist hit
+        (2, "cdn at https://static.cdn.bad.example/x"),   # subdomain hit
+        (3, "fine https://good.example/ok here"),         # clean
+        (4, "no urls at all"),                            # clean
+        (5, "https://notbad.example/x"),                  # 'notbad' != 'bad': no hit
+        (6, "https://EXAMPLE.com/x and https://bad.example/y"),  # any hit blocks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in curation_mod().domain_block_verdicts(
+            df, ["bad.example", "other.org"]
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False, 6: True}
+    kept = curation_mod().domain_block_verdicts(df, ["bad.example"])
+    assert {r["doc_id"] for r in kept.filter("NOT blocked").collect()} == {3, 4, 5}
