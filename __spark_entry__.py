@@ -61,6 +61,7 @@ from anything2rdf_spark.operators import link as LK  # noqa: E402
 from anything2rdf_spark.operators import melt as MT  # noqa: E402
 from anything2rdf_spark.operators import reify as RF  # noqa: E402
 from anything2rdf_spark.operators import similarity as SM  # noqa: E402
+from anything2rdf_spark.operators import curation as CU  # noqa: E402
 from anything2rdf_spark.operators import textstats as TS  # noqa: E402
 from anything2rdf_spark.operators import windows as WD  # noqa: E402
 from anything2rdf_spark.operators.multimodal import (  # noqa: E402
@@ -3700,6 +3701,65 @@ FROM src s LEFT JOIN hit h ON s.doc_id = h.doc_id
 """
 
 
+# c4_clean — curation.c4_line_filter: C4's line-level cleaning rules
+# (Raffel et al. 2020 §2.2 — terminal punctuation, ≥5 words, no
+# "javascript" per line; lorem-ipsum / curly-brace / <3-surviving-lines
+# page drops). Fixture exercises every keep/drop path (good page,
+# lorem page, brace page, thin page, curly-quote terminals, empty doc);
+# the real documents table rides through too. The oracle mirrors the
+# scan-local expression with string_split + list_filter.
+_C4_FIXTURE_ROWS = [
+    (3000001, "The old barn stood quietly at the edge of the field.\n"
+              "short line.\n"
+              "This line has plenty of words but no terminal punctuation\n"
+              "The tired farmer walked slowly back to the house at dusk.\n"
+              "Every morning the fox ran across the wide green meadow again.\n"
+              "Enable JavaScript to view the comments on this page."),
+    (3000002, "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do.\n"
+              "The text continues with more filler words for the test here.\n"
+              "Another full sentence keeps the line count up to three lines."),
+    (3000003, "The page renders a template with var config = { a: 1 }.\n"
+              "A second complete sentence keeps this line well formed today.\n"
+              "A third complete sentence keeps this line well formed today."),
+    (3000004, "Only one line here is long enough and ends properly today.\nnope\nalso nope"),
+    (3000005, "He said the harvest would be ready before the first frost.”\n"
+              "“We should begin loading the wagons early tomorrow morning.”\n"
+              "The others nodded and went back to their quiet evening work."),
+    (3000006, ""),
+]
+
+
+def _c4_clean_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_C4_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return CU.c4_line_filter(docs)
+
+
+def _c4_clean_oracle() -> str:
+    return rf"""
+WITH c4src AS ({_extras_docs_sql(_C4_FIXTURE_ROWS)}),
+c4per AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)), l ->
+             regexp_matches(trim(l), {_lit(CU.C4_LINE_TERMINAL_RE)})
+             AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), x -> x <> '')) >= 5
+             AND NOT contains(lower(l), 'javascript')
+         ) AS kept
+  FROM c4src)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       len(kept) AS n_kept,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, chr(123))
+        AND len(kept) >= 3) AS keep_page,
+       -- DuckDB: array_to_string([]) is NULL, Spark array_join([]) is ''
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+       length(coalesce(array_to_string(kept, chr(10)), '')) AS clean_len
+FROM c4per
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3735,6 +3795,8 @@ _EXTRAS_SUITE = [
     ("dsir_resample", _dsir_resample_spark),
     # curation.domain_block_verdicts — C4-style URL blocklist filtering
     ("domain_block", _domain_block_spark),
+    # curation.c4_line_filter — C4 line-level cleaning + page drops
+    ("c4_clean", _c4_clean_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3763,6 +3825,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("dsir_resample", _DSIR_RESAMPLE_ORACLE,
      ["doc_id", "n_feat", "logw_micro", "key_micro"]),
     ("domain_block", _domain_block_oracle(), ["doc_id", "blocked"]),
+    ("c4_clean", _c4_clean_oracle(),
+     ["doc_id", "n_lines", "n_kept", "keep_page", "clean_md5", "clean_len"]),
 ]
 
 

@@ -443,6 +443,70 @@ def dsir_resample(
     )
 
 
+# Terminal punctuation a surviving C4 line must end with (Raffel et al.
+# 2020 §2.2: "period, exclamation mark, question mark, or end quotation
+# mark" — straight AND curly quote variants).
+C4_LINE_TERMINAL_RE = "[.!?\"'”’]$"
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2, the heuristic
+    family behind the C4 corpus), as a per-document verdict + splice:
+
+    * keep a line only if it ends in a terminal punctuation mark
+      (``C4_LINE_TERMINAL_RE``), has ≥ ``min_words`` whitespace words, and
+      does not mention "javascript" (case-insensitive);
+    * drop the whole page if it contains "lorem ipsum" (placeholder
+      boilerplate), a ``{`` (leftover code/markup), or fewer than
+      ``min_kept_lines`` surviving lines (the paper's "fewer than 3
+      sentences" rule, with kept lines as the sentence unit).
+
+    Returns one row per document: (doc_id, n_lines, n_kept, keep_page,
+    clean_md5, clean_len) where ``clean_md5``/``clean_len`` fingerprint the
+    newline-joined surviving lines — the splice result — without carrying
+    the full cleaned text through the gate (join back on doc_id and re-run
+    the same filter expression to materialize it).
+
+    Plan at scale: the whole operator is ONE scan-local projection — split,
+    higher-order ``filter`` with a native lambda, ``array_join``, ``md5`` —
+    zero shuffles, zero Python, survives any corpus size at scan speed.
+    Word counting trims spaces then splits on ``\\s+`` (the engine-portable
+    convention the DSIR featurizer uses).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _ok(line):
+        t = F.trim(line)
+        words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+        return (
+            t.rlike(C4_LINE_TERMINAL_RE)
+            & (F.size(words) >= min_words)
+            & (F.instr(F.lower(line), "javascript") == 0)
+        )
+
+    kept = F.filter(lines, _ok)
+    clean = F.array_join(kept, "\n")
+    keep_page = (
+        (F.instr(F.lower(F.col(text_col)), "lorem ipsum") == 0)
+        & (F.instr(F.col(text_col), "{") == 0)
+        & (F.size(kept) >= min_kept_lines)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        keep_page.alias("keep_page"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
 def domain_block_verdicts(
     docs: DataFrame,
     blocked_domains,

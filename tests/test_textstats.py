@@ -857,3 +857,72 @@ def test_domain_block_verdicts(spark):
     assert got == {1: True, 2: True, 3: False, 4: False, 5: False, 6: True}
     kept = curation_mod().domain_block_verdicts(df, ["bad.example"])
     assert {r["doc_id"] for r in kept.filter("NOT blocked").collect()} == {3, 4, 5}
+
+
+def _c4_ref(text, min_words=5, min_kept=3):
+    """Pure-Python mirror of curation.c4_line_filter (same trim-spaces,
+    \\s+ word split, terminal-punct class, page rules)."""
+    import hashlib
+
+    lines = text.split("\n")
+
+    def ok(line):
+        t = line.strip(" ")
+        words = [w for w in re.split(r"\s+", t) if w]
+        return (
+            re.search("[.!?\"'”’]$", t) is not None
+            and len(words) >= min_words
+            and "javascript" not in line.lower()
+        )
+
+    kept = [l for l in lines if ok(l)]
+    clean = "\n".join(kept)
+    keep_page = (
+        "lorem ipsum" not in text.lower()
+        and "{" not in text
+        and len(kept) >= min_kept
+    )
+    return (
+        len(lines),
+        len(kept),
+        keep_page,
+        hashlib.md5(clean.encode("utf-8")).hexdigest(),
+        len(clean),
+    )
+
+
+def test_c4_line_filter_matches_python_reference(spark, docs):
+    fixture = [
+        (9000001, "The old barn stood quietly at the edge of the field.\n"
+            "short line.\n"
+            "This line has plenty of words but no terminal punctuation\n"
+            "The tired farmer walked slowly back to the house at dusk.\n"
+            "Every morning the fox ran across the wide green meadow again.\n"
+            "Enable JavaScript to view the comments on this page."),
+        (9000002, "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do.\n"
+            "The text continues with more filler words for the test here.\n"
+            "Another full sentence keeps the line count up to three lines."),
+        (9000003, "The page renders a template with var config = { a: 1 }.\n"
+            "A second complete sentence keeps this line well formed today.\n"
+            "A third complete sentence keeps this line well formed today."),
+        (9000004, "Only one line here is long enough and ends properly today.\nnope\nalso nope"),
+        (9000005, "He said the harvest would be ready before the first frost.”\n"
+            "“We should begin loading the wagons early tomorrow morning.”\n"
+            "The others nodded and went back to their quiet evening work."),
+        (9000006, ""),
+    ]
+    df = spark.createDataFrame(fixture, "doc_id long, text string").unionByName(
+        docs.select("doc_id", "text").limit(40)
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["keep_page"], r["clean_md5"], r["clean_len"])
+        for r in curation_mod().c4_line_filter(df).collect()
+    }
+    for r in df.collect():
+        assert got[r["doc_id"]] == _c4_ref(r["text"]), r["doc_id"]
+    # spot-check the designed paths: good page survives, lorem/brace/thin drop
+    assert got[9000001][2] is True and got[9000001][1] == 3   # javascript+short+no-punct dropped
+    assert got[9000002][2] is False                     # lorem ipsum
+    assert got[9000003][2] is False                     # curly brace
+    assert got[9000004][2] is False                     # < 3 surviving lines
+    assert got[9000005][2] is True                      # curly-quote terminals count
