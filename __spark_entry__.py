@@ -3760,6 +3760,50 @@ FROM c4per
 """
 
 
+# mixture — curation.mixture_weights: temperature-based domain mixture
+# reweighting (XLM α-sampling; α=0.5 via IEEE-exact sqrt, all derived
+# columns integer-division exact). Fixture adds two skewed groups on top
+# of the uniform src0..src19 of the real table so the flattening is
+# actually exercised; oracle re-derives token counts, the sqrt weight,
+# and both integer divisions.
+_MIX_FIXTURE_ROWS = [
+    ("fx_web", "token stream " * 300),
+    ("fx_web", "token stream " * 280),
+    ("fx_books", "a single short document with very few whitespace tokens"),
+]
+_MIX_BUDGET = 50_000
+
+
+def _mixture_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_MIX_FIXTURE_ROWS, "source string, text string")
+    docs = spark.table("documents").select("source", "text").unionByName(fixture)
+    return CU.mixture_weights(docs, alpha=0.5, budget_tokens=_MIX_BUDGET)
+
+
+_MIXTURE_ORACLE = rf"""
+WITH mxsrc AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM {_sql_values(_MIX_FIXTURE_ROWS, 'source, text')}
+),
+mxg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM mxsrc GROUP BY source
+),
+mxw AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_micro
+  FROM mxg
+),
+mxt AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM mxw)
+SELECT source, n_docs, n_tokens, w_micro,
+       (1000000 * w_micro) // tot_w AS share_ppm,
+       (((1000000 * w_micro) // tot_w) * {_MIX_BUDGET}) // 1000000 AS quota_tokens
+FROM mxw, mxt
+"""
+
+
 _EXTRAS_SUITE = [
     ("domain_counts", _domain_spark),
     ("paragraph_dedup", _para_dedup_spark),
@@ -3797,6 +3841,8 @@ _EXTRAS_SUITE = [
     ("domain_block", _domain_block_spark),
     # curation.c4_line_filter — C4 line-level cleaning + page drops
     ("c4_clean", _c4_clean_spark),
+    # curation.mixture_weights — α-temperature domain mixture reweighting
+    ("mixture", _mixture_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3827,6 +3873,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("domain_block", _domain_block_oracle(), ["doc_id", "blocked"]),
     ("c4_clean", _c4_clean_oracle(),
      ["doc_id", "n_lines", "n_kept", "keep_page", "clean_md5", "clean_len"]),
+    ("mixture", _MIXTURE_ORACLE,
+     ["source", "n_docs", "n_tokens", "w_micro", "share_ppm", "quota_tokens"]),
 ]
 
 

@@ -443,6 +443,73 @@ def dsir_resample(
     )
 
 
+def mixture_weights(
+    docs: DataFrame,
+    by: str = "source",
+    alpha: float = 0.5,
+    budget_tokens: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based domain mixture reweighting — the α-sampling rule
+    of Lample & Conneau 2019 (XLM §3.1, the multilingual up/down-sampling
+    exponent XLM-R and mT5 tuned; the per-source mixture tables Gopher and
+    LLaMA publish): each group's sampling weight ∝ n_tokens^α, with α < 1
+    flattening the natural distribution toward low-resource groups.
+
+    α is restricted to {1.0, 0.5, 0.25}: 0.5 and 0.25 compute as a sqrt
+    chain (IEEE-754 sqrt is CORRECTLY ROUNDED, so the chain is
+    bit-identical in any compliant engine) and 1.0 is the identity — an
+    arbitrary α needs pow(), whose last-ulp behavior is libm-specific;
+    add one only via the integer micronat-grid pattern dsir_log_weights
+    uses.
+
+    Returns one dimension-sized row per group:
+    ``(by, n_docs, n_tokens, w_micro, share_ppm[, quota_tokens])`` —
+
+    * ``w_micro``   = floor(1e6 · n_tokens^α)  (α=1: n_tokens itself);
+    * ``share_ppm`` = (1e6 · w_micro) div Σ w_micro — the group's mixture
+      probability in ppm, INTEGER division so it is exact past 2^53;
+    * ``quota_tokens`` = (share_ppm · budget_tokens) div 1e6 — the group's
+      token budget at ppm granularity (when ``budget_tokens`` is given).
+
+    Plan at scale: one partial-aggregated groupBy over the corpus (the
+    only shuffle — map-side combine reduces each task to ≤ |groups| rows),
+    then a single-row total broadcast onto the dimension-sized result. At
+    100 TB (~1e13 tokens ⇒ w_micro ~ 3e12 for α=0.5) the 1e6-scaled
+    numerator still fits a BIGINT with two decades of headroom.
+    """
+    from .textstats import ws_token_count
+
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(f"alpha must be one of 1.0/0.5/0.25, got {alpha}")
+    g = docs.groupBy(F.col(by).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
+    )
+    x = F.col("n_tokens").cast("double")
+    if alpha == 1.0:
+        w = F.col("n_tokens")
+    elif alpha == 0.5:
+        w = F.floor(F.lit(1_000_000.0) * F.sqrt(x)).cast("long")
+    else:
+        w = F.floor(F.lit(1_000_000.0) * F.sqrt(F.sqrt(x))).cast("long")
+    g = g.withColumn("w_micro", w)
+    tot = g.agg(F.sum("w_micro").alias("tot_w"))
+    out = g.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(by),
+        "n_docs",
+        "n_tokens",
+        "w_micro",
+        F.expr("(1000000 * w_micro) div tot_w").alias("share_ppm"),
+    )
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "quota_tokens",
+            F.expr(f"(share_ppm * CAST({int(budget_tokens)} AS BIGINT)) div 1000000"),
+        )
+    return out
+
+
 # Terminal punctuation a surviving C4 line must end with (Raffel et al.
 # 2020 §2.2: "period, exclamation mark, question mark, or end quotation
 # mark" — straight AND curly quote variants).

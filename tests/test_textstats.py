@@ -926,3 +926,61 @@ def test_c4_line_filter_matches_python_reference(spark, docs):
     assert got[9000003][2] is False                     # curly brace
     assert got[9000004][2] is False                     # < 3 surviving lines
     assert got[9000005][2] is True                      # curly-quote terminals count
+
+
+def test_mixture_weights_matches_python_reference(spark):
+    import math
+
+    rows = [
+        # giant group: 3 docs x many tokens; tiny group: 1 doc x few
+        (1, "big " * 400, "web"),
+        (2, "big " * 380, "web"),
+        (3, "big " * 420, "web"),
+        (4, "tiny doc with nine whitespace tokens right here now", "books"),
+        (5, "a mid sized group of docs " * 20, "code"),
+        (6, "a mid sized group of docs " * 22, "code"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for alpha in (1.0, 0.5, 0.25):
+        got = {
+            r["source"]: (r["n_docs"], r["n_tokens"], r["w_micro"],
+                          r["share_ppm"], r["quota_tokens"])
+            for r in curation_mod().mixture_weights(
+                df, alpha=alpha, budget_tokens=10_000
+            ).collect()
+        }
+        # pure-Python mirror (same sqrt chain, same integer divisions)
+        toks = {}
+        for _, t, s in rows:
+            n = len([w for w in t.split() if w])
+            a, b = toks.get(s, (0, 0))
+            toks[s] = (a + 1, b + n)
+        if alpha == 1.0:
+            wm = {s: n for s, (_, n) in toks.items()}
+        elif alpha == 0.5:
+            wm = {s: math.floor(1_000_000.0 * math.sqrt(float(n))) for s, (_, n) in toks.items()}
+        else:
+            wm = {s: math.floor(1_000_000.0 * math.sqrt(math.sqrt(float(n)))) for s, (_, n) in toks.items()}
+        tot = sum(wm.values())
+        want = {
+            s: (d, n, wm[s], (1_000_000 * wm[s]) // tot,
+                (((1_000_000 * wm[s]) // tot) * 10_000) // 1_000_000)
+            for s, (d, n) in toks.items()
+        }
+        assert got == want, alpha
+    # temperature property: alpha<1 flattens — the tiny group's share rises
+    share = {}
+    for alpha in (1.0, 0.5, 0.25):
+        share[alpha] = {
+            r["source"]: r["share_ppm"]
+            for r in curation_mod().mixture_weights(df, alpha=alpha).collect()
+        }
+    assert share[0.5]["books"] > share[1.0]["books"]
+    assert share[0.25]["books"] > share[0.5]["books"]
+    assert share[0.25]["web"] < share[0.5]["web"] < share[1.0]["web"]
+
+
+def test_mixture_weights_rejects_unsupported_alpha(spark):
+    df = spark.createDataFrame([(1, "a b c", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        curation_mod().mixture_weights(df, alpha=0.3)
