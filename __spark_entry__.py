@@ -3760,6 +3760,97 @@ FROM c4per
 """
 
 
+# pq_adc — similarity.pq_train/pq_encode/pq_adc_topk: product quantization
+# ANN (Jégou et al. 2011) in the integer-exact parameterization — vectors
+# quantize to round(x*1000) longs, per-subspace k-means (2 Lloyd rounds,
+# init = smallest-id subvectors, ties → lower code, truncated-mean update:
+# Spark `div` / DuckDB `//` both truncate toward zero) and the ADC scan
+# sums exact integer subspace distances, so DuckDB reproduces training,
+# codes, distances, and ranks bit-for-bit.
+_PQ_M, _PQ_KSUB = 4, 4
+
+
+def _pq_adc_spark(spark: SparkSession) -> DataFrame:
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cbs = SM.pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=2)
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SM.pq_adc_topk(emb, queries, cbs, k=5).select(
+        "query_id", "vec_id", "adc_dist", "rank"
+    )
+
+
+# exact integer squared-L2 of subvector {v} against codeword {c}
+_PQ_DIST_SQL = "list_sum(list_transform(generate_series(1, len({v})), i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+
+
+def _pq_assign_sql(vtab: str, ctab: str) -> str:
+    dist = _PQ_DIST_SQL.format(v="v.sv", c="c.c")
+    return f"""
+  SELECT vec_id, sub, sv, j AS code FROM (
+    SELECT v.vec_id, v.sub, v.sv, c.j,
+           row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY {dist}, c.j) AS rn
+    FROM {vtab} v JOIN {ctab} c ON v.sub = c.sub
+  ) t WHERE rn = 1
+"""
+
+
+def _pq_update_sql(assign_tab: str, prev_ctab: str) -> str:
+    return f"""
+  SELECT p.sub, p.j, coalesce(s.c, p.c) AS c
+  FROM {prev_ctab} p LEFT JOIN (
+    SELECT sub, code AS j, list(cv ORDER BY d) AS c FROM (
+      SELECT a.sub, a.code, t.d,
+             CAST(sum(a.sv[t.d]) // count(*) AS BIGINT) AS cv
+      FROM {assign_tab} a, unnest(generate_series(1, len(a.sv))) AS t(d)
+      GROUP BY a.sub, a.code, t.d
+    ) z GROUP BY sub, code
+  ) s ON p.sub = s.sub AND p.j = s.j
+"""
+
+
+def _pq_adc_oracle() -> str:
+    return f"""
+WITH pqe AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pqsv AS (
+  SELECT vec_id, t.s AS sub,
+         list_slice(qv, t.s * (len(qv) // {_PQ_M}) + 1, (t.s + 1) * (len(qv) // {_PQ_M})) AS sv
+  FROM pqe, unnest(generate_series(0, {_PQ_M - 1})) AS t(s)
+),
+pc0 AS (
+  SELECT CAST(r.rn - 1 AS INT) AS j, v.sub, v.sv AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM (SELECT DISTINCT vec_id FROM pqe ORDER BY vec_id LIMIT {_PQ_KSUB}) x) r
+  JOIN pqsv v USING (vec_id)
+),
+pa1 AS ({_pq_assign_sql('pqsv', 'pc0')}),
+pc1 AS ({_pq_update_sql('pa1', 'pc0')}),
+pa2 AS ({_pq_assign_sql('pqsv', 'pc1')}),
+pc2 AS ({_pq_update_sql('pa2', 'pc1')}),
+paf AS ({_pq_assign_sql('pqsv', 'pc2')}),
+pq_q AS (SELECT vec_id AS query_id, sub, sv FROM pqsv WHERE vec_id < 3),
+pqdist AS (
+  SELECT q.query_id, a.vec_id,
+         CAST(sum({_PQ_DIST_SQL.format(v='q.sv', c='c.c')}) AS BIGINT) AS adc_dist
+  FROM pq_q q
+  JOIN paf a ON a.sub = q.sub
+  JOIN pc2 c ON c.sub = a.sub AND c.j = a.code
+  GROUP BY q.query_id, a.vec_id
+)
+SELECT query_id, vec_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM pqdist) t WHERE rank <= 5
+"""
+
+
 # mixture — curation.mixture_weights: temperature-based domain mixture
 # reweighting (XLM α-sampling; α=0.5 via IEEE-exact sqrt, all derived
 # columns integer-division exact). Fixture adds two skewed groups on top
@@ -3843,6 +3934,8 @@ _EXTRAS_SUITE = [
     ("c4_clean", _c4_clean_spark),
     # curation.mixture_weights — α-temperature domain mixture reweighting
     ("mixture", _mixture_spark),
+    # similarity.pq_* — product-quantization ANN (train + encode + ADC)
+    ("pq_adc", _pq_adc_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3875,6 +3968,7 @@ _EXTRAS_SUITE_ORACLE = [
      ["doc_id", "n_lines", "n_kept", "keep_page", "clean_md5", "clean_len"]),
     ("mixture", _MIXTURE_ORACLE,
      ["source", "n_docs", "n_tokens", "w_micro", "share_ppm", "quota_tokens"]),
+    ("pq_adc", _pq_adc_oracle(), ["query_id", "vec_id", "adc_dist", "rank"]),
 ]
 
 

@@ -520,6 +520,205 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# --- PQ (product quantization) ANN: subspace codebooks + ADC scan ----------
+
+
+def _l2_int(sv, code: list[int]):
+    """Exact integer squared-L2 distance between a quantized subvector
+    column and a literal integer codeword."""
+    ca = F.array(*[F.lit(int(x)).cast("long") for x in code])
+    return F.aggregate(
+        F.zip_with(sv, ca, lambda x, w: (x - w) * (x - w)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+
+
+def _pq_best_code(sv, codes: list[list[int]]):
+    """argmin codeword index for a subvector: lexicographic min over
+    (dist, code) structs — ties break on the lower code, matching the
+    oracle's row_number ORDER BY dist, code."""
+    entries = [
+        F.struct(_l2_int(sv, code).alias("dist"), F.lit(c).alias("code"))
+        for c, code in enumerate(codes)
+    ]
+    return F.array_min(F.array(*entries))["code"]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_scale: int = 1000,
+    dim: int | None = None,
+) -> list[list[list[int]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search", TPAMI): split each vector
+    into ``m`` contiguous subvectors of dim/m components and run an
+    independent k-means with ``ksub`` codewords per subspace. Returns
+    ``codebooks[sub][code] = list[int]`` — integer codewords over the
+    ``round(x*quantize_scale)`` grid (:func:`quantize_vec`), so every
+    distance/assignment in training AND search is an exact integer and the
+    whole derivation is bit-identical in any engine (the same portability
+    trick as ``ivf_train(quantize_scale=...)``).
+
+    Determinism: init = the ``ksub`` smallest-id vectors' subvectors; each
+    Lloyd round assigns by exact integer squared-L2 (ties → lower code)
+    and updates codewords to the TRUNCATED integer mean ``sum div count``
+    (Spark ``div``, DuckDB ``//``, both truncate toward zero — floor-style
+    division would disagree between them on negative sums); an empty code
+    keeps its previous codeword.
+
+    Plan at scale: codebooks are dimension-sized (m·ksub·dsub ints) — they
+    live on the driver and broadcast into expressions; each Lloyd round is
+    ONE narrow job (per-sub assignment inline, partial-aggregated
+    groupBy(sub, code, d)); the corpus is never collected. At 100 TB train
+    on a sampled slice (codebooks converge on ~1e5 vectors), then
+    :func:`pq_encode` the full corpus in one scan-local pass.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seed_rows = (
+        df.orderBy(id_col).limit(ksub).select(quantize_vec(vec_col, quantize_scale)).collect()
+    )
+    ksub = min(ksub, len(seed_rows))
+    if ksub == 0:
+        raise ValueError("pq_train: empty corpus")
+    codebooks: list[list[list[int]]] = [
+        [[int(x) for x in r[0][s * dsub:(s + 1) * dsub]] for r in seed_rows]
+        for s in range(m)
+    ]
+    qv = quantize_vec(vec_col, quantize_scale)
+    for _ in range(iters):
+        subs = []
+        for s in range(m):
+            sv = F.slice(qv, s * dsub + 1, dsub)
+            subs.append(
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    _pq_best_code(sv, codebooks[s]).alias("code"),
+                    sv.alias("sv"),
+                )
+            )
+        assigned = df.select(F.explode(F.array(*subs)).alias("a")).select(
+            "a.sub", "a.code", "a.sv"
+        )
+        sums = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("d", "x"))
+            .groupBy("sub", "code", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault((r["sub"], r["code"]), {})[r["d"]] = (int(r["s"]), int(r["n"]))
+        for s in range(m):
+            for c in range(ksub):
+                cell = acc.get((s, c))
+                if cell is None:
+                    continue  # empty code keeps its previous codeword
+                codebooks[s][c] = [
+                    # exact truncation toward zero (Python // floors)
+                    (abs(sv_) // n_) * (1 if sv_ >= 0 else -1)
+                    for d in range(dsub)
+                    for sv_, n_ in (cell[d],)
+                ]
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int> of length m) —
+    each vector compresses to m smallint indexes (64-dim float → 4 bytes at
+    m=4, the whole point of PQ at 100 TB: the code table fits in a
+    fraction of the embedding footprint and the ADC scan reads only it).
+    One scan-local pass, codebooks broadcast as literals, zero shuffles."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = quantize_vec(vec_col, quantize_scale)
+    codes = F.array(
+        *[
+            _pq_best_code(F.slice(qv, s * dsub + 1, dsub), codebooks[s])
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC): the corpus is
+    scanned as CODES ONLY (``pq_encode``), each (query, row) distance is the
+    sum over subspaces of the exact integer squared-L2 between the query's
+    quantized subvector and the row's codeword — the lookup-table scan of
+    Jégou et al. 2011 §IV, expressed as a native codeword gather
+    (``element_at`` into the broadcast codebook literal, no Python). The
+    distance is an exact integer, so ranking (dist asc, id asc) is
+    bit-identical in any engine with no rounding shim. Returns
+    (query_id, vec_id, adc_dist, rank).
+
+    Plan at scale: queries broadcast; the corpus side reads m smallints
+    per row instead of the full vector — the scan is bandwidth-bound on a
+    ~100× smaller table. Compose with the IVF coarse quantizer (assign
+    corpus to :func:`ivf_train` lists, probe-filter before the ADC scan)
+    for the standard IVFPQ layout when even the code scan is too much.
+    """
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(x)).cast("long") for x in code])
+                    for code in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    qv = quantize_vec(vec_col, quantize_scale)
+    qsubs = F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)])
+    c = pq_encode(corpus, codebooks, id_col, vec_col, quantize_scale)
+    q = queries.select(F.col(query_id_col), qsubs.alias("_qsubs"))
+    dist = None
+    for s in range(m):
+        codeword = F.element_at(F.element_at(cb, s + 1), F.element_at("codes", s + 1) + 1)
+        term = F.aggregate(
+            F.zip_with(
+                F.element_at("_qsubs", s + 1), codeword, lambda x, w: (x - w) * (x - w)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        dist = term if dist is None else dist + term
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, dist.alias("adc_dist")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def semantic_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -182,3 +182,97 @@ def test_semantic_duplicates(spark):
     # the 5-row cluster is dropped entirely
     capped = SM.semantic_duplicates(df, nlist=1, iters=1, threshold=0.0, max_cluster=2)
     assert capped.count() == 0
+
+
+def _pq_ref(corpus, m, ksub, iters, scale=1000):
+    """Pure-Python PQ trainer mirroring similarity.pq_train exactly
+    (same init, integer L2, lower-code ties, truncated-mean update)."""
+    def quant(v):
+        # round half away from zero, like Spark/DuckDB round()
+        return [int(np.sign(x) * np.floor(abs(x) * scale + 0.5)) for x in v]
+
+    ids = sorted(corpus)
+    dim = len(corpus[ids[0]])
+    dsub = dim // m
+    qv = {i: quant(corpus[i]) for i in ids}
+    cbs = [
+        [qv[i][s * dsub:(s + 1) * dsub] for i in ids[:ksub]]
+        for s in range(m)
+    ]
+
+    def best(sv, codes):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(sv, code)), c)
+            for c, code in enumerate(codes)
+        )[1]
+
+    for _ in range(iters):
+        members = {}
+        for i in ids:
+            for s in range(m):
+                sv = qv[i][s * dsub:(s + 1) * dsub]
+                members.setdefault((s, best(sv, cbs[s])), []).append(sv)
+        for s in range(m):
+            for c in range(ksub):
+                svs = members.get((s, c))
+                if not svs:
+                    continue
+                n = len(svs)
+                cbs[s][c] = [
+                    (abs(t) // n) * (1 if t >= 0 else -1)
+                    for t in (sum(col) for col in zip(*svs))
+                ]
+    return qv, cbs
+
+def test_pq_train_encode_adc_match_python_reference(spark, emb):
+    M, KSUB, ITERS = 4, 4, 2
+    sub = emb.filter("vec_id < 60").select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    corpus = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in sub.collect()}
+    qv, want_cbs = _pq_ref(corpus, M, KSUB, ITERS)
+    got_cbs = SM.pq_train(sub, m=M, ksub=KSUB, iters=ITERS)
+    assert got_cbs == want_cbs
+    # encode agrees with per-sub argmin over the reference codebooks
+    dim = len(next(iter(corpus.values())))
+    dsub = dim // M
+    def best(sv, codes):
+        return min((sum((a - b) ** 2 for a, b in zip(sv, code)), c)
+                   for c, code in enumerate(codes))[1]
+    want_codes = {
+        i: [best(qv[i][s * dsub:(s + 1) * dsub], want_cbs[s]) for s in range(M)]
+        for i in corpus
+    }
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in SM.pq_encode(sub, got_cbs).collect()}
+    assert got_codes == want_codes
+    # ADC distances equal the exact sum of per-sub codeword distances and
+    # rank (dist asc, id asc) — brute-force reference over the same codes
+    queries = sub.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {}
+    for r in SM.pq_adc_topk(sub, queries, got_cbs, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["adc_dist"]))
+    for qi in [0, 1, 2]:
+        dists = []
+        for i in corpus:
+            dd = sum(
+                sum((a - b) ** 2 for a, b in zip(
+                    qv[qi][s * dsub:(s + 1) * dsub], want_cbs[s][want_codes[i][s]]))
+                for s in range(M)
+            )
+            dists.append((dd, i))
+        want_top = [(r + 1, i, d) for r, (d, i) in enumerate(sorted(dists)[:5])]
+        assert sorted(got[qi]) == want_top, qi
+
+
+def test_pq_adc_beats_random_and_degenerates_sanely(spark, emb):
+    # with ksub == corpus size and iters=0-ish training the ADC ranking on
+    # a tiny corpus must put each query's own vector first (self-distance
+    # is the minimal codeword distance when each vector is its own seed)
+    sub = emb.filter("vec_id < 4").select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cbs = SM.pq_train(sub, m=4, ksub=4, iters=1)
+    queries = sub.select(F.col("vec_id").alias("query_id"), "embedding")
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in SM.pq_adc_topk(sub, queries, cbs, k=1).collect()
+    }
+    # each query's nearest code cell contains itself unless Lloyd merged
+    # cells; with 4 seeds for 4 vectors the self cell survives round 1
+    assert set(top1) == {0, 1, 2, 3}
