@@ -51,6 +51,15 @@ def train_bpe(corpus: str, n_merges: int = 256) -> list[tuple[str, str]]:
     training is deterministic on any platform). Classic Sennrich training —
     O(n_merges * vocab) on the word-frequency table, not on the corpus."""
     vocab = Counter(_word_symbols(w) for w in pretokenize(corpus) if not w.isspace())
+    return train_bpe_from_vocab(vocab, n_merges)
+
+
+def train_bpe_from_vocab(vocab: Counter, n_merges: int = 256) -> list[tuple[str, str]]:
+    """The Sennrich merge loop over a WEIGHTED word-symbol vocabulary
+    (``Counter[tuple[str, ...]] -> freq``) — the driver-side half of
+    :func:`train_bpe_distributed`; ``train_bpe`` is the single-string
+    convenience wrapper. Deterministic: most-frequent pair first, ties
+    broken lexicographically."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
@@ -111,6 +120,58 @@ def encode_text(text: str, ranks: dict[tuple[str, str], int], cache: dict | None
             cache[w] = c
         n += c
     return n
+
+
+def train_bpe_distributed(
+    docs,
+    n_merges: int = 256,
+    text_col: str = "text",
+    max_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Tokenizer training AT CORPUS SCALE: the standard two-phase layout
+    every production BPE trainer uses (Sennrich's own implementation
+    aggregates a word-frequency dict first) — Spark computes the
+    word-frequency table, the driver runs the merge loop on it.
+
+    Phase 1 (distributed, one pass): pre-tokenize every document with the
+    NATIVE ``regexp_extract_all`` (PRETOKEN_RE is ASCII-classed, so the
+    Java and Python engines segment identically), explode, drop whitespace
+    tokens, and partial-aggregate counts — the canonical map-side-combined
+    word count. The shuffled relation is vocabulary-sized (Heaps' law:
+    ~1e6-1e7 distinct words even at 100 TB), not corpus-sized.
+
+    Phase 2 (driver): the ``max_words`` most frequent words (ties broken
+    by word asc — a deterministic TakeOrderedAndProject, no global sort)
+    feed :func:`train_bpe_from_vocab`. When the cap doesn't bind, the
+    merges are EXACTLY those of single-string training over the per-doc
+    pre-tokenization; when it binds, the dropped tail is the Zipfian tail
+    whose pair counts are dominated by the head — the standard
+    max-vocab-cap approximation.
+
+    Note the per-doc boundary convention: each document's first word has
+    no leading space (documents are independent texts, not one
+    concatenated stream), so merges can differ from ``train_bpe`` on a
+    "\\n".join of the same texts exactly at document boundaries.
+    """
+    from pyspark.sql import functions as F
+
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE.pattern), 0)
+            ).alias("w")
+        )
+        .filter(~F.col("w").rlike(r"^\s+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: Counter = Counter()
+    for r in wf:
+        vocab[_word_symbols(r["w"])] += int(r["n"])
+    return train_bpe_from_vocab(vocab, n_merges)
 
 
 # A small fixed training corpus (public-domain-style plain English prose,

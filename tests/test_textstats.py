@@ -984,3 +984,47 @@ def test_mixture_weights_rejects_unsupported_alpha(spark):
     df = spark.createDataFrame([(1, "a b c", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError):
         curation_mod().mixture_weights(df, alpha=0.3)
+
+
+def test_train_bpe_distributed_matches_python_vocab_training(spark):
+    from collections import Counter
+
+    from anything2rdf_spark.functions import bpe as B
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the barn",
+        "the farmer keeps the tools and the seeds in the old barn",
+        "reading and writing were taught in the small school here",
+        "numbers like 12345 and marks ?! survive pre-tokenization",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = B.train_bpe_distributed(df, n_merges=64)
+    # reference: per-document pre-tokenization into one weighted vocab
+    vocab = Counter()
+    for t in texts:
+        for w in B.pretokenize(t):
+            if not w.isspace():
+                vocab[B._word_symbols(w)] += 1
+    want = B.train_bpe_from_vocab(vocab, n_merges=64)
+    assert got == want
+    # single-document case degenerates to plain train_bpe
+    one = spark.createDataFrame([(texts[0],)], "text string")
+    assert B.train_bpe_distributed(one, n_merges=32) == B.train_bpe(texts[0], 32)
+    # the learned table drives the encoder: counts are positive and at most
+    # the character count, and common words compress below char length
+    ranks = {p: i for i, p in enumerate(got)}
+    n = B.encode_text("the quick brown fox", ranks)
+    assert 0 < n < len("the quick brown fox")
+
+
+def test_train_bpe_distributed_max_words_cap(spark):
+    from anything2rdf_spark.functions import bpe as B
+
+    df = spark.createDataFrame(
+        [("aaa aaa aaa bbb bbb zzz",)], "text string"
+    )
+    # cap keeps only the two most frequent words; ' zzz' (count 1) is
+    # dropped, so its characters can never appear in a merge
+    capped = B.train_bpe_distributed(df, n_merges=8, max_words=2)
+    assert all("z" not in a + b for a, b in capped)
+    assert capped == B.train_bpe_distributed(df, n_merges=8, max_words=2)
