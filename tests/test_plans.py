@@ -181,3 +181,45 @@ def test_semantic_dedup_plan_shape(spark):
     cents = ivf_train(emb, nlist=4, iters=1)
     p = plan(semantic_duplicates(emb, centroids=cents, threshold=0.5))
     assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_c4_line_filter_is_shuffle_free(spark, transcripts):
+    """C4 line cleaning is one scan-local projection (split → higher-order
+    filter → array_join → md5): zero Exchange operators, zero Python —
+    the whole rule family rides the document scan at any corpus size."""
+    from anything2rdf_spark.operators.curation import c4_line_filter
+
+    docs = transcripts.select(
+        F.abs(F.xxhash64("conv_id", "turn_idx")).alias("doc_id"), "text"
+    )
+    p = plan(c4_line_filter(docs))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_mixture_weights_single_shuffle(spark, transcripts):
+    """mixture_weights' only exchange is the partial-aggregated per-group
+    token count (plus the single-row total broadcast): the corpus never
+    shuffles and all weight math happens on the dimension-sized result."""
+    from anything2rdf_spark.operators.curation import mixture_weights
+
+    docs = transcripts.select(F.col("role").alias("source"), "text")
+    p = plan(mixture_weights(docs, alpha=0.5, budget_tokens=1000))
+    # one shuffle for the groupBy; the totals agg over ≤|groups| rows adds
+    # its own single-partition exchange — corpus-sized data crosses once
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding is scan-local: quantize → per-subspace argmin against
+    broadcast literal codebooks — zero Exchange, zero Python. The 100-TB
+    encode pass must ride the embedding scan."""
+    from anything2rdf_spark.operators import similarity as SM
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cbs = SM.pq_train(emb.limit(16), m=4, ksub=4, iters=1)
+    p = plan(SM.pq_encode(emb, cbs))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
