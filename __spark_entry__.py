@@ -3760,6 +3760,40 @@ FROM c4per
 """
 
 
+# pareto_accept — curation.pareto_accept_verdicts: the GPT-3 quality
+# sampling ACTION (Brown et al. 2020 App. A) composed over the
+# oracle-mirrored LM familiarity score: keep iff the deterministic
+# hash-Pareto draw exceeds 1 - score, evaluated on the integer micro grid
+# (α=2 → reciprocal-sqrt, correctly rounded IEEE in both engines).
+def _pareto_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_LM_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    scored = TS.seed_lm_familiarity(docs).select(
+        "doc_id", F.col("coverage_ppm").alias("score_ppm")
+    )
+    return CU.pareto_accept_verdicts(scored, alpha=2, seed=31, hash_mode="md5_60")
+
+
+def _pareto_oracle() -> str:
+    return f"""
+WITH plm AS ({_lm_familiarity_oracle()}),
+ppu AS (
+  SELECT doc_id, coverage_ppm AS score_ppm,
+         (('0x' || substr(md5('31:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+           / 1152921504606846976.0 AS u
+  FROM plm
+),
+ppd AS (
+  SELECT doc_id, score_ppm,
+         CAST(floor(1000000.0 * (1.0 / sqrt(u) - 1.0)) AS BIGINT) AS draw_micro
+  FROM ppu
+)
+SELECT doc_id, score_ppm, draw_micro,
+       (draw_micro > 1000000 - score_ppm) AS keep
+FROM ppd
+"""
+
+
 # pq_adc — similarity.pq_train/pq_encode/pq_adc_topk: product quantization
 # ANN (Jégou et al. 2011) in the integer-exact parameterization — vectors
 # quantize to round(x*1000) longs, per-subspace k-means (2 Lloyd rounds,
@@ -3936,6 +3970,8 @@ _EXTRAS_SUITE = [
     ("mixture", _mixture_spark),
     # similarity.pq_* — product-quantization ANN (train + encode + ADC)
     ("pq_adc", _pq_adc_spark),
+    # curation.pareto_accept_verdicts — GPT-3 stochastic quality acceptance
+    ("pareto_accept", _pareto_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -3969,6 +4005,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("mixture", _MIXTURE_ORACLE,
      ["source", "n_docs", "n_tokens", "w_micro", "share_ppm", "quota_tokens"]),
     ("pq_adc", _pq_adc_oracle(), ["query_id", "vec_id", "adc_dist", "rank"]),
+    ("pareto_accept", _pareto_oracle(),
+     ["doc_id", "score_ppm", "draw_micro", "keep"]),
 ]
 
 

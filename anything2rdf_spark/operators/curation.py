@@ -574,6 +574,65 @@ def c4_line_filter(
     )
 
 
+def pareto_accept_verdicts(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_ppm_col: str = "score_ppm",
+    alpha: int = 2,
+    seed: int = 31,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The GPT-3 quality-sampling ACTION (Brown et al. 2020, Appendix A):
+    instead of a hard quality threshold, keep a document stochastically —
+    ``np.random.pareto(α) > 1 - document_score`` in the paper — so
+    high-scoring documents are mostly kept but low-scoring ones still
+    enter the corpus occasionally (the smooth cut that avoids cloning the
+    classifier's bias into a hard boundary). Completes detect→act for the
+    quality scorers (quality_score, seed_lm_familiarity, DSIR) the way
+    ``dsir_resample`` completes DSIR.
+
+    Deterministic and engine-portable: the Pareto draw is the inverse-CDF
+    transform ``u^(-1/α) - 1`` of a hash-uniform u in (0, 1] per (id,
+    seed) — the same draw on any cluster size or partition layout. α is
+    restricted to {1, 2, 4}: u^(-1) is one IEEE division and u^(-1/2),
+    u^(-1/4) are reciprocal sqrt chains — every step correctly rounded,
+    so both engines compute the identical double before the single
+    ``floor`` onto the integer micro grid (arbitrary α — the paper used
+    9 — needs pow(); add it via the micronat-grid pattern
+    ``dsir_log_weights`` documents). The keep rule is evaluated ON the
+    grid: keep iff ``draw_micro > 1e6 - score_ppm``.
+
+    ``scored`` carries (id_col, score_ppm_col) with the score already in
+    integer ppm of [0, 1] (e.g. ``lm_quality_buckets``' coverage_ppm, or
+    ``floor(quality * 1e6)``). Returns (id_col, score_ppm, draw_micro,
+    keep). Scan-local: one hash + one sqrt chain per row, zero shuffles.
+    """
+    from .dedupe import hash64
+
+    if alpha not in (1, 2, 4):
+        raise ValueError(f"alpha must be one of 1/2/4, got {alpha}")
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    h = hash64(key, seed, hash_mode)
+    if hash_mode == "md5_60":
+        u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**60))
+    else:
+        u = (h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)) + F.lit(2.0**-64)
+    # u in (0, 1]: inverse CDF needs u > 0; u == 1 → draw 0 is fine
+    inv = F.lit(1.0) / u
+    if alpha == 2:
+        inv = F.lit(1.0) / F.sqrt(u)
+    elif alpha == 4:
+        inv = F.lit(1.0) / F.sqrt(F.sqrt(u))
+    draw_micro = F.floor(F.lit(1_000_000.0) * (inv - F.lit(1.0))).cast("long")
+    s = F.col(score_ppm_col).cast("long")
+    return scored.select(
+        F.col(id_col),
+        s.alias("score_ppm"),
+        draw_micro.alias("draw_micro"),
+        (draw_micro > (F.lit(1_000_000).cast("long") - s)).alias("keep"),
+    )
+
+
 def domain_block_verdicts(
     docs: DataFrame,
     blocked_domains,

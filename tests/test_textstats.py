@@ -1028,3 +1028,39 @@ def test_train_bpe_distributed_max_words_cap(spark):
     capped = B.train_bpe_distributed(df, n_merges=8, max_words=2)
     assert all("z" not in a + b for a, b in capped)
     assert capped == B.train_bpe_distributed(df, n_merges=8, max_words=2)
+
+
+def test_pareto_accept_verdicts_matches_python_reference(spark):
+    import math
+
+    rows = [(i, (i * 7919) % 1_000_001) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score_ppm long")
+    for alpha, seed, mode in [(1, 31, "md5_60"), (2, 31, "md5_60"), (4, 5, "md5_60"), (2, 31, "xxhash64")]:
+        got = {
+            r["doc_id"]: (r["score_ppm"], r["draw_micro"], r["keep"])
+            for r in curation_mod().pareto_accept_verdicts(
+                df, alpha=alpha, seed=seed, hash_mode=mode
+            ).collect()
+        }
+        if mode == "md5_60":
+            import hashlib
+
+            def u_of(i):
+                h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+                return (h + 1.0) / float(2**60)
+
+            for i, s in rows:
+                u = u_of(i)
+                inv = {1: 1.0 / u, 2: 1.0 / math.sqrt(u), 4: 1.0 / math.sqrt(math.sqrt(u))}[alpha]
+                dm = math.floor(1_000_000.0 * (inv - 1.0))
+                assert got[i] == (s, dm, dm > 1_000_000 - s), (alpha, i)
+        # smooth-cut sanity in every mode: high scores keep more often
+        hi = [k for (i, s) in rows if s > 900_000 for k in [got[i][2]]]
+        lo = [k for (i, s) in rows if s < 100_000 for k in [got[i][2]]]
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+def test_pareto_accept_rejects_unsupported_alpha(spark):
+    df = spark.createDataFrame([(1, 500000)], "doc_id long, score_ppm long")
+    with pytest.raises(ValueError):
+        curation_mod().pareto_accept_verdicts(df, alpha=9)
