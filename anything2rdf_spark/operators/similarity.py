@@ -719,6 +719,84 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ivf_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    quantize_scale: int = 1000,
+) -> DataFrame:
+    """IVFPQ (Jégou et al. 2011 §V, the layout FAISS popularized): the IVF
+    coarse quantizer prunes WHICH rows are scored (each query probes its
+    ``nprobe`` nearest inverted lists) and PQ codes compress WHAT is read
+    per row (m smallints instead of the full vector) — the composition of
+    :func:`ivf_train`/inverted-list probing with :func:`pq_adc_topk`'s
+    ADC distance. Expects integer-parameterized inputs (``ivf_train(...,
+    quantize_scale=...)`` centroids and :func:`pq_train` codebooks with
+    the same scale), so every assignment, probe order, and distance is an
+    exact-integer/portable derivation like its two parents. Returns
+    (query_id, vec_id, adc_dist, rank) over the probed lists only.
+
+    Plan at scale: one scan-local corpus pass computes (cluster, codes) —
+    at rest this IS the index layout: partition by cluster, store codes —
+    the probe is a broadcast join on cluster id touching ~nprobe/nlist of
+    the code table, and the ADC math never reads the original vectors.
+    """
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = quantize_vec(vec_col, quantize_scale)
+    cscores = _centroid_scores_int(vec_col, ivf_centroids, quantize_scale)
+    c = corpus.select(
+        F.col(id_col),
+        F.array_min(cscores)["j"].alias("_cl"),
+        F.array(
+            *[
+                _pq_best_code(F.slice(qv, s * dsub + 1, dsub), codebooks[s])
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+    probes = F.transform(F.slice(F.array_sort(cscores), 1, nprobe), lambda s: s["j"])
+    qsubs = F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)])
+    q = queries.select(
+        F.col(query_id_col), qsubs.alias("_qsubs"), F.explode(probes).alias("_cl")
+    )
+    cb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(x)).cast("long") for x in code])
+                    for code in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    dist = None
+    for s in range(m):
+        codeword = F.element_at(F.element_at(cb, s + 1), F.element_at("codes", s + 1) + 1)
+        term = F.aggregate(
+            F.zip_with(
+                F.element_at("_qsubs", s + 1), codeword, lambda x, w: (x - w) * (x - w)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        dist = term if dist is None else dist + term
+    scored = c.join(F.broadcast(q), "_cl").select(
+        query_id_col, id_col, dist.alias("adc_dist")
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def semantic_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

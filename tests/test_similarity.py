@@ -276,3 +276,45 @@ def test_pq_adc_beats_random_and_degenerates_sanely(spark, emb):
     # each query's nearest code cell contains itself unless Lloyd merged
     # cells; with 4 seeds for 4 vectors the self cell survives round 1
     assert set(top1) == {0, 1, 2, 3}
+
+
+def test_ivfpq_topk_composes_ivf_prune_with_adc(spark, emb):
+    """IVFPQ == pq_adc_topk restricted to the probed IVF lists: for each
+    query the IVFPQ result must equal re-ranking the ADC distances of
+    exactly the corpus rows whose IVF cluster is among the query's probes."""
+    sub = emb.filter("vec_id < 80").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = SM.ivf_train(sub, nlist=4, iters=2, quantize_scale=1000)
+    cbs = SM.pq_train(sub, m=4, ksub=4, iters=2)
+    queries = sub.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in SM.ivfpq_topk(sub, queries, cents, cbs, k=5, nprobe=2).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["adc_dist"]))
+    # reference: cluster assignment + probes via the same integer scoring,
+    # ADC dists from pq_adc_topk with k = corpus size (unpruned)
+    assign = {
+        r["vec_id"]: r["cl"]
+        for r in sub.select(
+            "vec_id",
+            F.array_min(SM._centroid_scores_int("embedding", cents, 1000))["j"].alias("cl"),
+        ).collect()
+    }
+    probes = {
+        r["query_id"]: [s["j"] for s in r["pr"]]
+        for r in queries.select(
+            "query_id",
+            F.slice(F.array_sort(SM._centroid_scores_int("embedding", cents, 1000)), 1, 2).alias("pr"),
+        ).collect()
+    }
+    alldist = {}
+    for r in SM.pq_adc_topk(sub, queries, cbs, k=10**6).collect():
+        alldist.setdefault(r["query_id"], {})[r["vec_id"]] = r["adc_dist"]
+    for qi in [0, 1, 2]:
+        cand = sorted(
+            (d, i) for i, d in alldist[qi].items() if assign[i] in probes[qi]
+        )[:5]
+        want = [(r + 1, i, d) for r, (d, i) in enumerate(cand)]
+        assert sorted(got[qi]) == want, qi
