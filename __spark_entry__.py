@@ -3760,6 +3760,58 @@ FROM c4per
 """
 
 
+# html_clean — textstats.html_to_text: rule-based HTML→text extraction
+# (the WET-style first stage C4/CCNet pipelines start from). The oracle is
+# BUILT from the same HTML_STRIP_RULES / HTML_ENTITIES constants the Spark
+# expression uses (chained regexp_replace(...,'g') + replace), so the two
+# engines can never drift on a transcribed pattern. Output is the
+# md5+length fingerprint convention plus the line count the downstream
+# line-level filters would see.
+_HTML_FIXTURE_ROWS = [
+    (3100001, "<html><head><title>T</title><style>p { color: red }</style>"
+              "<script type='text/js'>var x = '<p>';</script></head>"
+              "<body><h1>The Morning Report</h1><p>The farmer walked to "
+              "the barn at dawn.</p><p>Crops &amp; tools were ready."
+              "</p><!-- hidden --><div>Totals: 5 &lt; 7 &gt; 3</div>"
+              "</body></html>"),
+    (3100002, "plain text stays as plain text."),
+    (3100003, "a &amp;lt; b decodes one level only"),
+    (3100004, "<ul><li>first item</li><li>second item</li></ul>"),
+    (3100005, "line one<br/>line two<BR>line three"),
+    (3100006, ""),
+]
+
+
+def _html_clean_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_HTML_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    clean = TS.html_to_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("clean_len"),
+        F.size(F.split(clean, "\n")).alias("n_lines"),
+    )
+
+
+def _html_clean_oracle() -> str:
+    t = "text"
+    for pat, rep in TS.HTML_STRIP_RULES:
+        t = f"regexp_replace({t}, {_lit(pat)}, {_lit(rep)}, 'g')"
+    for ent, ch in TS.HTML_ENTITIES:
+        t = f"replace({t}, {_lit(ent)}, {_lit(ch)})"
+    for pat, rep in [(r"[ \t\r]+", " "), (r" ?\n ?", "\n"), (r"\n+", "\n"),
+                     (r"^\s+|\s+$", "")]:
+        t = f"regexp_replace({t}, {_lit(pat)}, {_lit(rep)}, 'g')"
+    return f"""
+WITH hsrc AS ({_extras_docs_sql(_HTML_FIXTURE_ROWS)}),
+hcln AS (SELECT doc_id, {t} AS t FROM hsrc)
+SELECT doc_id, md5(t) AS clean_md5, length(t) AS clean_len,
+       len(string_split(t, chr(10))) AS n_lines
+FROM hcln
+"""
+
+
 # pareto_accept — curation.pareto_accept_verdicts: the GPT-3 quality
 # sampling ACTION (Brown et al. 2020 App. A) composed over the
 # oracle-mirrored LM familiarity score: keep iff the deterministic
@@ -3972,6 +4024,8 @@ _EXTRAS_SUITE = [
     ("pq_adc", _pq_adc_spark),
     # curation.pareto_accept_verdicts — GPT-3 stochastic quality acceptance
     ("pareto_accept", _pareto_spark),
+    # textstats.html_to_text — rule-based HTML→text extraction
+    ("html_clean", _html_clean_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -4007,6 +4061,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("pq_adc", _pq_adc_oracle(), ["query_id", "vec_id", "adc_dist", "rank"]),
     ("pareto_accept", _pareto_oracle(),
      ["doc_id", "score_ppm", "draw_micro", "keep"]),
+    ("html_clean", _html_clean_oracle(),
+     ["doc_id", "clean_md5", "clean_len", "n_lines"]),
 ]
 
 

@@ -280,6 +280,59 @@ def domain_counts(docs, text_col: str = "text"):
     )
 
 
+# HTML→text rules, applied in order. Same Java/RE2 dialect subset as the
+# rest of this module: inline (?is) flags and lazy quantifiers work in
+# both; script and style get SEPARATE rules because a </\1> backreference
+# would be Java-only (RE2 has none). Block-level tags become newlines so
+# paragraph structure survives for the line-level filters (c4_line_filter,
+# paragraph dedup); every other tag becomes a space.
+HTML_STRIP_RULES = [
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</?(?:p|br|div|h[1-6]|li|tr)\b[^>]*/?\s*>", "\n"),
+    (r"<[^>]+>", " "),
+]
+
+# Entity decode pairs, in order — &amp; LAST so double-escaped text
+# ("&amp;lt;") decodes one level per pass like a real parser's first step,
+# never jumping straight to '<'.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(html) -> Column:
+    """Basic HTML→text extraction — the first stage of every web-corpus
+    pipeline (WET-style text stripping; C4 and CCNet both start from
+    extracted text): drop script/style/comment blocks, turn block-level
+    tags into newlines, strip remaining tags, decode the six ubiquitous
+    entities, collapse whitespace (horizontal runs → one space, spaces
+    trimmed around newlines, newline runs → one newline, ends trimmed).
+    Deliberately rule-based and scan-local — one native regexp_replace
+    chain, zero shuffles, zero Python — not a DOM parser: boilerplate
+    removal beyond this (nav/footer pruning à la trafilatura) belongs to
+    the line/paragraph filters downstream (c4_line_filter,
+    strip_duplicate_paragraphs), which is exactly how the production
+    pipelines layer it."""
+    t = _c(html)
+    for pat, rep in HTML_STRIP_RULES:
+        t = F.regexp_replace(t, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    # trim ALL whitespace at the ends (trim() strips spaces only, and a
+    # leading block tag would otherwise leave a leading newline)
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
 # PII scrub patterns, applied in order (email before phone so the digits in
 # a mailbox name aren't half-masked first; card before phone so a 13-15
 # digit card isn't half-masked as a phone number). Same regex dialect subset

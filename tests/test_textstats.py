@@ -1064,3 +1064,50 @@ def test_pareto_accept_rejects_unsupported_alpha(spark):
     df = spark.createDataFrame([(1, 500000)], "doc_id long, score_ppm long")
     with pytest.raises(ValueError):
         curation_mod().pareto_accept_verdicts(df, alpha=9)
+
+
+def _html_ref(h):
+    out = h
+    for pat, rep in TS.HTML_STRIP_RULES:
+        out = re.sub(pat, rep, out)
+    for ent, ch in TS.HTML_ENTITIES:
+        out = out.replace(ent, ch)
+    out = re.sub(r"[ \t\r]+", " ", out)
+    out = re.sub(r" ?\n ?", "\n", out)
+    out = re.sub(r"\n+", "\n", out)
+    return re.sub(r"^\s+|\s+$", "", out)
+
+
+def test_html_to_text_matches_python_reference(spark, docs):
+    fixture = [
+        (9100001, "<html><head><title>T</title><style>p { color: red }</style>"
+                  "<script type='text/js'>var x = '<p>';</script></head>"
+                  "<body><h1>The Morning Report</h1><p>The farmer walked to "
+                  "the barn at dawn.</p><p>Crops &amp; tools were ready."
+                  "</p><!-- hidden --><div>Totals: 5 &lt; 7 &gt; 3</div>"
+                  "</body></html>"),
+        (9100002, "plain text stays as plain text."),
+        (9100003, "a &amp;lt; b decodes one level only"),
+        (9100004, "<ul><li>first item</li><li>second item</li></ul>"),
+        (9100005, "line one<br/>line two<BR>line three"),
+        (9100006, ""),
+    ]
+    df = spark.createDataFrame(fixture, "doc_id long, text string").unionByName(
+        docs.select("doc_id", "text").limit(30)
+    )
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select("doc_id", TS.html_to_text("text").alias("clean")).collect()
+    }
+    for r in df.collect():
+        assert got[r["doc_id"]] == _html_ref(r["text"]), r["doc_id"]
+    # structural spot checks
+    assert "color" not in got[9100001] and "var x" not in got[9100001]
+    assert "hidden" not in got[9100001]
+    assert "Crops & tools were ready." in got[9100001]
+    assert "5 < 7 > 3" in got[9100001]
+    assert got[9100002] == "plain text stays as plain text."
+    assert got[9100003] == "a &lt; b decodes one level only"
+    assert got[9100004] == "first item\nsecond item"
+    assert got[9100005] == "line one\nline two\nline three"
+    assert got[9100006] == ""
