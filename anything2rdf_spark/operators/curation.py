@@ -32,6 +32,8 @@ def curate_corpus(
     min_quality: float = 0.0,
     dedup: bool = True,
     bpe_tokens: bool = False,
+    html: bool = False,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """Curate a document corpus for training-data use. Returns one row per
     SURVIVING document: (doc_id, lang_guess, quality, ws_tokens,
@@ -56,8 +58,26 @@ def curate_corpus(
     * ``min_quality``: threshold on ``quality_score`` rounded to 6 decimals
       (rounded BEFORE filtering so the cut is engine-portable).
     * ``clean_text``: ``redact_pii`` output (email/IP/Luhn-card/phone).
+    * ``html=True`` prepends :func:`~anything2rdf_spark.operators.textstats.
+      html_to_text` extraction; ``c4_rules=True`` then applies C4's line
+      rules — the text becomes the surviving lines and pages failing
+      :func:`c4_keep_page` drop. Both run BEFORE dedup (C4's own order:
+      clean, then dedup the cleaned text) and both are scan-local, so the
+      chain stays one pass + one shuffle with either flag on.
     """
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if html:
+        from .textstats import html_to_text
+
+        d = d.withColumn("text", html_to_text(F.col("text")))
+    if c4_rules:
+        kept = c4_kept_lines(F.col("text"))
+        d = (
+            d.withColumn("_kp", c4_keep_page(F.col("text"), kept))
+            .withColumn("text", F.array_join(c4_kept_lines(F.col("text")), "\n"))
+            .filter(F.col("_kp"))
+            .drop("_kp")
+        )
     if dedup:
         d = d.withColumn("_h", F.sha2(normalized_text("text"), 256))
         canon = d.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
@@ -516,6 +536,33 @@ def mixture_weights(
 C4_LINE_TERMINAL_RE = "[.!?\"'”’]$"
 
 
+def c4_kept_lines(text, min_words: int = 5):
+    """The surviving lines of a page under C4's line rules, as an
+    array<string> column — the shared expression behind
+    :func:`c4_line_filter` and ``curate_corpus(c4_rules=True)``."""
+
+    def _ok(line):
+        t = F.trim(line)
+        words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+        return (
+            t.rlike(C4_LINE_TERMINAL_RE)
+            & (F.size(words) >= min_words)
+            & (F.instr(F.lower(line), "javascript") == 0)
+        )
+
+    return F.filter(F.split(text, "\n"), _ok)
+
+
+def c4_keep_page(text, kept, min_kept_lines: int = 3):
+    """C4's page-level verdict over the original text and its surviving
+    lines (no "lorem ipsum", no '{', ≥ min_kept_lines survivors)."""
+    return (
+        (F.instr(F.lower(text), "lorem ipsum") == 0)
+        & (F.instr(text, "{") == 0)
+        & (F.size(kept) >= min_kept_lines)
+    )
+
+
 def c4_line_filter(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -546,24 +593,10 @@ def c4_line_filter(
     Word counting trims spaces then splits on ``\\s+`` (the engine-portable
     convention the DSIR featurizer uses).
     """
+    kept = c4_kept_lines(F.col(text_col), min_words)
     lines = F.split(F.col(text_col), "\n")
-
-    def _ok(line):
-        t = F.trim(line)
-        words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
-        return (
-            t.rlike(C4_LINE_TERMINAL_RE)
-            & (F.size(words) >= min_words)
-            & (F.instr(F.lower(line), "javascript") == 0)
-        )
-
-    kept = F.filter(lines, _ok)
     clean = F.array_join(kept, "\n")
-    keep_page = (
-        (F.instr(F.lower(F.col(text_col)), "lorem ipsum") == 0)
-        & (F.instr(F.col(text_col), "{") == 0)
-        & (F.size(kept) >= min_kept_lines)
-    )
+    keep_page = c4_keep_page(F.col(text_col), kept, min_kept_lines)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).alias("n_lines"),

@@ -1111,3 +1111,27 @@ def test_html_to_text_matches_python_reference(spark, docs):
     assert got[9100004] == "first item\nsecond item"
     assert got[9100005] == "line one\nline two\nline three"
     assert got[9100006] == ""
+
+
+def test_curate_corpus_html_c4_path(spark):
+    rows = [
+        (1, "<p>The farmer walked to the barn at dawn with his tools.</p>"
+            "<p>The second sentence is here to keep the page alive.</p>"
+            "<p>The third sentence rounds out the surviving page today.</p>"),
+        # page-level lorem-ipsum drop fires on the EXTRACTED text
+        (2, "<p>Lorem ipsum dolor sit amet consectetur adipiscing elit.</p>"
+            "<p>More filler text for the doomed page goes right here.</p>"
+            "<p>Third line to be safe for the count requirement too.</p>"),
+        # survives extraction but no line passes the terminal-punct rule
+        (3, "no html but also no terminal punctuation on this line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation_mod().curate_corpus(df, langs=None, html=True, c4_rules=True)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1}
+    # the surviving text is the newline-joined kept lines
+    assert got[1]["clean_text"].count("\n") == 2
+    assert "farmer" in got[1]["clean_text"]
+    # flags off: the original three docs all reach the lang-free output
+    base = curation_mod().curate_corpus(df, langs=None)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
