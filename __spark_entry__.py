@@ -3846,6 +3846,64 @@ FROM ppd
 """
 
 
+# mixture_select — curation.mixture_select: the mixture ACTION (fill each
+# group's α-tempered token quota with a deterministic hash-uniform
+# selection; salt-bucketed quota shares for skew-safety). The oracle
+# chains the mixture derivation through the same hash/salt/prefix-window
+# selection rule.
+_MIXSEL_FIXTURE_ROWS = [
+    (3200001, "fx_web", "stream of tokens " * 120),
+    (3200002, "fx_web", "stream of tokens " * 110),
+    (3200003, "fx_books", "a short book fragment with a dozen whitespace tokens in it"),
+]
+_MIXSEL_BUDGET, _MIXSEL_SB = 20_000, 4
+
+
+def _mixture_select_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(
+        _MIXSEL_FIXTURE_ROWS, "doc_id long, source string, text string"
+    )
+    docs = spark.table("documents").select("doc_id", "source", "text").unionByName(fixture)
+    return CU.mixture_select(
+        docs, alpha=0.5, budget_tokens=_MIXSEL_BUDGET, seed=17,
+        salt_buckets=_MIXSEL_SB, hash_mode="md5_60",
+    )
+
+
+_MIXSEL_ORACLE = rf"""
+WITH mssrc AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text
+  FROM {_sql_values(_MIXSEL_FIXTURE_ROWS, 'doc_id, source, text')}
+),
+mstok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM mssrc
+),
+msg AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS gt FROM mstok GROUP BY source),
+msw AS (SELECT source, CAST(floor(1000000.0 * sqrt(CAST(gt AS DOUBLE))) AS BIGINT) AS w FROM msg),
+mst AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM msw),
+msq AS (SELECT source, (((1000000 * w) // tot) * {_MIXSEL_BUDGET}) // 1000000 AS quota FROM msw, mst),
+msh AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         ('0x' || substr(md5('17:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM mstok t
+),
+msp AS (
+  SELECT s.source, s.doc_id, s.n_tokens, CAST(s.h % {_MIXSEL_SB} AS INT) AS salt, q.quota,
+         coalesce(sum(s.n_tokens) OVER (
+           PARTITION BY s.source, s.h % {_MIXSEL_SB}
+           ORDER BY s.h, s.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM msh s JOIN msq q USING (source)
+)
+SELECT source, doc_id, n_tokens FROM msp
+WHERE p < quota // {_MIXSEL_SB} + CASE WHEN salt < quota % {_MIXSEL_SB} THEN 1 ELSE 0 END
+"""
+
+
 # pq_adc — similarity.pq_train/pq_encode/pq_adc_topk: product quantization
 # ANN (Jégou et al. 2011) in the integer-exact parameterization — vectors
 # quantize to round(x*1000) longs, per-subspace k-means (2 Lloyd rounds,
@@ -4026,6 +4084,8 @@ _EXTRAS_SUITE = [
     ("pareto_accept", _pareto_spark),
     # textstats.html_to_text — rule-based HTML→text extraction
     ("html_clean", _html_clean_spark),
+    # curation.mixture_select — fill the α-mixture token quotas
+    ("mixture_select", _mixture_select_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -4063,6 +4123,7 @@ _EXTRAS_SUITE_ORACLE = [
      ["doc_id", "score_ppm", "draw_micro", "keep"]),
     ("html_clean", _html_clean_oracle(),
      ["doc_id", "clean_md5", "clean_len", "n_lines"]),
+    ("mixture_select", _MIXSEL_ORACLE, ["source", "doc_id", "n_tokens"]),
 ]
 
 

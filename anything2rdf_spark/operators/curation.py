@@ -530,6 +530,74 @@ def mixture_weights(
     return out
 
 
+def mixture_select(
+    docs: DataFrame,
+    by: str = "source",
+    alpha: float = 0.5,
+    budget_tokens: int = 1_000_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 17,
+    salt_buckets: int = 16,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Apply :func:`mixture_weights`' quotas — the mixture ACTION: select a
+    deterministic uniform subset of each group's documents until the
+    group's token quota fills, producing a corpus whose per-group token
+    shares follow the α-tempered mixture. Selection order is the seeded
+    id hash (a stable uniform sample independent of partition layout, the
+    ``cap_per_group`` convention); a document is kept iff its tokens START
+    inside the quota (exclusive-prefix-sum rule), so overfill is bounded
+    by one document per salt bucket — ``pack_documents``' quasi-packing
+    bound. Returns the selected rows: (by, doc_id, n_tokens).
+
+    Skew-safety: a single per-group prefix-sum window would serialize a
+    viral group into one task, so each group's quota is split across
+    ``salt_buckets`` hash-salt buckets (integer split, remainder spread
+    over the first ``quota % salt_buckets`` buckets) and each
+    (group, salt) bucket fills its own share with its own bounded window
+    — raise ``salt_buckets`` with the cluster. The split changes WHICH
+    documents fill the quota (bucket shares fill independently) but not
+    the quota accounting itself; per-bucket selection remains exactly
+    uniform-by-hash.
+
+    Plan at scale: mixture_weights' one aggregate, a broadcast of the
+    dimension-sized quota table, and the salted windows — the corpus text
+    never shuffles (token counts ride the scan); only (group, salt, hash,
+    id, n_tokens) rows move.
+    """
+    from .dedupe import hash64
+    from .textstats import ws_token_count
+
+    w = mixture_weights(
+        docs, by=by, alpha=alpha, budget_tokens=budget_tokens, text_col=text_col
+    )
+    q = w.select(F.col(by).alias("grp"), "quota_tokens")
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    d = docs.select(
+        F.col(by).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash64(key, seed, hash_mode).alias("h"),
+    ).withColumn("salt", F.pmod(F.col("h"), F.lit(salt_buckets)).cast("int"))
+    d = d.join(F.broadcast(q), "grp")
+    quota_s = F.expr(f"quota_tokens div {salt_buckets}") + F.when(
+        F.col("salt") < F.expr(f"quota_tokens % {salt_buckets}"), F.lit(1)
+    ).otherwise(F.lit(0))
+    win = (
+        W.partitionBy("grp", "salt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(win), F.lit(0).cast("long"))
+    return (
+        d.withColumn("_q", quota_s.cast("long"))
+        .withColumn("_p", prefix)
+        .filter(F.col("_p") < F.col("_q"))
+        .select(F.col("grp").alias(by), "doc_id", "n_tokens")
+    )
+
+
 # Terminal punctuation a surviving C4 line must end with (Raffel et al.
 # 2020 §2.2: "period, exclamation mark, question mark, or end quotation
 # mark" — straight AND curly quote variants).

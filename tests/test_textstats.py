@@ -1135,3 +1135,56 @@ def test_curate_corpus_html_c4_path(spark):
     # flags off: the original three docs all reach the lang-free output
     base = curation_mod().curate_corpus(df, langs=None)
     assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
+
+
+def test_mixture_select_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    rows = []
+    for i in range(120):
+        src = "web" if i % 3 else "books"
+        rows.append((i, src, ("token " * (5 + i % 7)).strip()))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    SB, SEED, ALPHA, BUDGET = 4, 17, 0.5, 900
+    got = {
+        (r["source"], r["doc_id"]): r["n_tokens"]
+        for r in curation_mod().mixture_select(
+            df, alpha=ALPHA, budget_tokens=BUDGET, seed=SEED,
+            salt_buckets=SB, hash_mode="md5_60",
+        ).collect()
+    }
+    # pure-Python mirror
+    toks = {i: len(t.split()) for i, _, t in rows}
+    grp_tokens = {}
+    for i, s, _ in rows:
+        grp_tokens[s] = grp_tokens.get(s, 0) + toks[i]
+    wm = {s: math.floor(1e6 * math.sqrt(float(n))) for s, n in grp_tokens.items()}
+    tot = sum(wm.values())
+    quota = {s: (((1_000_000 * wm[s]) // tot) * BUDGET) // 1_000_000 for s in wm}
+
+    def h60(i):
+        return int(hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for s in grp_tokens:
+        members = sorted((h60(i), i) for i, src, _ in rows if src == s)
+        for salt_sel in range(SB):
+            share = quota[s] // SB + (1 if salt_sel < quota[s] % SB else 0)
+            pref = 0
+            for h, i in members:
+                if h % SB != salt_sel:
+                    continue
+                if pref < share:
+                    want[(s, i)] = toks[i]
+                pref += toks[i]
+    assert got == want
+    # quota accounting: per-group selected tokens stay within quota plus
+    # one doc per salt bucket (the documented overfill bound)
+    max_doc = max(toks.values())
+    for s in quota:
+        sel = sum(v for (g, _), v in got.items() if g == s)
+        assert sel <= quota[s] + SB * max_doc
+        # and the selection is non-trivial when quota allows
+        if quota[s] > max_doc:
+            assert sel > 0
