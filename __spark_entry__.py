@@ -3812,6 +3812,95 @@ FROM hcln
 """
 
 
+# gopher_rep — textstats.gopher_repetition_flags: the repetition half of
+# Gopher Table A1 (dup line/para count+char fractions, top-{2,3,4}-gram
+# character fractions) as integer ppm. The Spark side is sort+fold
+# scan-local; the oracle re-derives each stat relationally (unnest +
+# group + row_number top-1) — same ties (count desc, gram asc), same
+# floor(1e6·a/b) double formula.
+_GREP_FIXTURE_ROWS = [
+    (3300001, "alpha beta gamma\nalpha beta gamma\nunique line here\n\n"
+              "para one text\n\npara one text"),
+    (3300002, "spam spam spam spam spam spam"),
+    (3300003, "all distinct lines only.\nsecond distinct line here.\n"
+              "third one closes it out."),
+    (3300004, "a b"),
+    (3300005, ""),
+]
+_GREP_COLS = ["n_lines", "dup_line_ppm", "dup_line_char_ppm", "n_paras",
+              "dup_para_ppm", "dup_para_char_ppm", "top2_ppm", "top3_ppm",
+              "top4_ppm"]
+
+
+def _gopher_rep_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_GREP_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    g = TS.gopher_repetition_flags("text")
+    return docs.select("doc_id", *[g[c].cast("long").alias(c) for c in _GREP_COLS])
+
+
+def _gopher_rep_oracle() -> str:
+    def gram(n):
+        parts = " || ' ' || ".join(
+            "tok" if i == 0 else f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+            for i in range(n)
+        )
+        return f"""
+grg{n} AS (SELECT doc_id, {parts} AS g FROM grt),
+grc{n} AS (SELECT doc_id, g, count(*) AS cnt FROM grg{n} WHERE g IS NOT NULL GROUP BY doc_id, g),
+grt{n} AS (SELECT doc_id, cnt * length(g) AS cov FROM (
+  SELECT doc_id, g, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+  FROM grc{n}) x WHERE rn = 1)"""
+
+    ppm = "CAST(floor(1000000.0 * ({a}) / greatest({b}, 1)) AS BIGINT)"
+    return rf"""
+WITH grsrc AS ({_extras_docs_sql(_GREP_FIXTURE_ROWS)}),
+grl AS (SELECT doc_id, trim(x) AS l
+        FROM grsrc, unnest(string_split(text, chr(10))) AS t(x)
+        WHERE trim(x) <> ''),
+grla AS (SELECT doc_id, count(*) AS n, count(DISTINCT l) AS nd,
+                CAST(sum(length(l)) AS BIGINT) AS c FROM grl GROUP BY doc_id),
+grld AS (SELECT doc_id, CAST(sum(length(l)) AS BIGINT) AS dc
+         FROM (SELECT DISTINCT doc_id, l FROM grl) z GROUP BY doc_id),
+grp AS (SELECT doc_id, trim(x) AS l
+        FROM grsrc, unnest(string_split_regex(text, '\n{{2,}}')) AS t(x)
+        WHERE trim(x) <> ''),
+grpa AS (SELECT doc_id, count(*) AS n, count(DISTINCT l) AS nd,
+                CAST(sum(length(l)) AS BIGINT) AS c FROM grp GROUP BY doc_id),
+grpd AS (SELECT doc_id, CAST(sum(length(l)) AS BIGINT) AS dc
+         FROM (SELECT DISTINCT doc_id, l FROM grp) z GROUP BY doc_id),
+grt AS (SELECT doc_id, l[CAST(i AS INT)] AS tok, i AS pos
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS l
+              FROM grsrc) q,
+             unnest(generate_series(1, len(l))) AS g(i)),
+grden AS (SELECT doc_id, CAST(sum(length(tok)) + count(*) - 1 AS BIGINT) AS denom
+          FROM grt GROUP BY doc_id),
+{gram(2)},
+{gram(3)},
+{gram(4)}
+SELECT s.doc_id,
+       coalesce(la.n, 0) AS n_lines,
+       {ppm.format(a="coalesce(la.n, 0) - coalesce(la.nd, 0)", b="coalesce(la.n, 0)")} AS dup_line_ppm,
+       {ppm.format(a="coalesce(la.c, 0) - coalesce(ld.dc, 0)", b="coalesce(la.c, 0)")} AS dup_line_char_ppm,
+       coalesce(pa.n, 0) AS n_paras,
+       {ppm.format(a="coalesce(pa.n, 0) - coalesce(pa.nd, 0)", b="coalesce(pa.n, 0)")} AS dup_para_ppm,
+       {ppm.format(a="coalesce(pa.c, 0) - coalesce(pd.dc, 0)", b="coalesce(pa.c, 0)")} AS dup_para_char_ppm,
+       {ppm.format(a="coalesce(t2.cov, 0)", b="coalesce(dn.denom, 0)")} AS top2_ppm,
+       {ppm.format(a="coalesce(t3.cov, 0)", b="coalesce(dn.denom, 0)")} AS top3_ppm,
+       {ppm.format(a="coalesce(t4.cov, 0)", b="coalesce(dn.denom, 0)")} AS top4_ppm
+FROM grsrc s
+LEFT JOIN grla la ON s.doc_id = la.doc_id
+LEFT JOIN grld ld ON s.doc_id = ld.doc_id
+LEFT JOIN grpa pa ON s.doc_id = pa.doc_id
+LEFT JOIN grpd pd ON s.doc_id = pd.doc_id
+LEFT JOIN grden dn ON s.doc_id = dn.doc_id
+LEFT JOIN grt2 t2 ON s.doc_id = t2.doc_id
+LEFT JOIN grt3 t3 ON s.doc_id = t3.doc_id
+LEFT JOIN grt4 t4 ON s.doc_id = t4.doc_id
+"""
+
+
 # pareto_accept — curation.pareto_accept_verdicts: the GPT-3 quality
 # sampling ACTION (Brown et al. 2020 App. A) composed over the
 # oracle-mirrored LM familiarity score: keep iff the deterministic
@@ -4086,6 +4175,8 @@ _EXTRAS_SUITE = [
     ("html_clean", _html_clean_spark),
     # curation.mixture_select — fill the α-mixture token quotas
     ("mixture_select", _mixture_select_spark),
+    # textstats.gopher_repetition_flags — Gopher Table A1 repetition half
+    ("gopher_rep", _gopher_rep_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -4124,6 +4215,7 @@ _EXTRAS_SUITE_ORACLE = [
     ("html_clean", _html_clean_oracle(),
      ["doc_id", "clean_md5", "clean_len", "n_lines"]),
     ("mixture_select", _MIXSEL_ORACLE, ["source", "doc_id", "n_tokens"]),
+    ("gopher_rep", _gopher_rep_oracle(), ["doc_id", *_GREP_COLS]),
 ]
 
 

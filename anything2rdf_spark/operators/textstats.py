@@ -457,6 +457,110 @@ def gopher_flags(text) -> Column:
     )
 
 
+def _top_sorted_run(sorted_arr):
+    """(count, value) of the most frequent element of a SORTED array via
+    one native fold — equal elements are adjacent, so the mode is the
+    longest run. Strictly-greater updates keep the FIRST maximal run,
+    i.e. the lexicographically smallest mode (mirrors SQL's
+    row_number ORDER BY count DESC, value ASC). (0, NULL) for empty."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("best_v"),
+    )
+
+    def step(acc, x):
+        run2 = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1).cast("long"))
+        better = run2 > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_v"]).alias("best_v"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)
+
+
+def gopher_repetition_flags(text) -> Column:
+    """The REPETITION half of Gopher's rule family (Rae et al. 2021, Table
+    A1's duplicate-line / duplicate-paragraph / top-n-gram filters), one
+    scan-local struct of integer ppm fractions (exact integer division —
+    no float compare drifts between engines):
+
+      n_lines, dup_line_ppm        fraction of non-empty trimmed lines
+                                   that repeat an earlier line
+      dup_line_char_ppm            fraction of line characters inside the
+                                   repeated occurrences
+      n_paras, dup_para_ppm,       the same over \\n\\n-separated
+      dup_para_char_ppm            paragraphs
+      top2_ppm, top3_ppm, top4_ppm character fraction of the most
+                                   frequent word 2/3/4-gram (count × gram
+                                   length over normalized text length);
+                                   ties → lexicographically smallest gram
+
+    Gopher's thresholds (dup line ≥ 0.30, dup para ≥ 0.30, char variants
+    ≥ 0.20, top-{2,3,4}-gram ≥ {0.20, 0.18, 0.16}) are left to the
+    caller — these are audit numbers, not baked gates, matching how
+    ``dup_ngram_fraction`` exposes the duplicate-n-gram rule.
+
+    Everything is array folds over one row — zero shuffles, zero Python;
+    the mode of each n-gram multiset comes from a sort + longest-run fold
+    (:func:`_top_sorted_run`), not a groupBy."""
+    t = _c(text)
+
+    def _dup(parts):
+        cleaned = F.filter(F.transform(parts, F.trim), lambda x: x != "")
+        n = F.size(cleaned)
+        nd = F.size(F.array_distinct(cleaned))
+        chars = F.aggregate(
+            F.transform(cleaned, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        dchars = F.aggregate(
+            F.transform(F.array_distinct(cleaned), F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        return n, nd, chars, dchars
+
+    lines_n, lines_nd, lines_c, lines_dc = _dup(F.split(t, r"\n"))
+    paras_n, paras_nd, paras_c, paras_dc = _dup(F.split(t, r"\n{2,}"))
+
+    def _ppm(a, b):
+        # floor(1e6·a / max(b,1)) as ONE double divide + floor, mirrored
+        # verbatim in the oracle. Exact-portable here: 1e6·a < 2^53 is an
+        # exact double, and a per-document quotient can only sit closer to
+        # an integer than its ulp if it IS that integer (b ≤ ~1e6 keeps
+        # non-integer quotients ≥ 1/b ≈ 1e-6 away, ulp ≈ 1e-10).
+        return F.floor(
+            (F.lit(1_000_000.0) * a.cast("double"))
+            / F.greatest(b, F.lit(1)).cast("double")
+        ).cast("long")
+
+    toks = _ws_tokens(F.lower(t))
+    denom = F.length(F.array_join(toks, " "))
+
+    def _top_ppm(n):
+        top = _top_sorted_run(F.array_sort(word_ngram_array(toks, n)))
+        covered = top["best"] * F.coalesce(F.length(top["best_v"]), F.lit(0))
+        return _ppm(covered, denom)
+
+    return F.struct(
+        lines_n.alias("n_lines"),
+        _ppm(lines_n - lines_nd, lines_n).alias("dup_line_ppm"),
+        _ppm(lines_c - lines_dc, lines_c).alias("dup_line_char_ppm"),
+        paras_n.alias("n_paras"),
+        _ppm(paras_n - paras_nd, paras_n).alias("dup_para_ppm"),
+        _ppm(paras_c - paras_dc, paras_c).alias("dup_para_char_ppm"),
+        _top_ppm(2).alias("top2_ppm"),
+        _top_ppm(3).alias("top3_ppm"),
+        _top_ppm(4).alias("top4_ppm"),
+    )
+
+
 def char_trigrams(text) -> Column:
     """Character trigrams of whitespace-normalized, lowercased text (spaces
     collapsed to one, so word boundaries carry exactly one signal char).

@@ -1188,3 +1188,69 @@ def test_mixture_select_matches_python_reference(spark):
         # and the selection is non-trivial when quota allows
         if quota[s] > max_doc:
             assert sel > 0
+
+
+def _gopher_rep_ref(text):
+    import math
+
+    def dup(parts):
+        cleaned = [p.strip(" ") for p in parts]
+        cleaned = [p for p in cleaned if p != ""]
+        n, nd = len(cleaned), len(set(cleaned))
+        chars = sum(len(p) for p in cleaned)
+        dchars = sum(len(p) for p in set(cleaned))
+        return n, nd, chars, dchars
+
+    def ppm(a, b):
+        return math.floor((1_000_000.0 * float(a)) / float(max(b, 1)))
+
+    ln = dup(re.split(r"\n", text))
+    pn = dup(re.split(r"\n{2,}", text))
+    toks = [w for w in re.split(r"\s+", text.strip(" ").lower()) if w]
+    denom = len(" ".join(toks))
+
+    def top(n):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return 0
+        from collections import Counter
+
+        cnt = Counter(grams)
+        best = max(cnt.values())
+        g = min(k for k, v in cnt.items() if v == best)
+        return ppm(best * len(g), denom)
+
+    return (
+        ln[0], ppm(ln[0] - ln[1], ln[0]), ppm(ln[2] - ln[3], ln[2]),
+        pn[0], ppm(pn[0] - pn[1], pn[0]), ppm(pn[2] - pn[3], pn[2]),
+        top(2), top(3), top(4),
+    )
+
+
+def test_gopher_repetition_flags_matches_python_reference(spark, docs):
+    fixture = [
+        (9200001, "alpha beta gamma\nalpha beta gamma\nunique line here\n\n"
+                  "para one text\n\npara one text"),
+        (9200002, "spam spam spam spam spam spam"),
+        (9200003, "all distinct lines only.\nsecond distinct line here.\n"
+                  "third one closes it out."),
+        (9200004, "a b"),
+        (9200005, ""),
+    ]
+    df = spark.createDataFrame(fixture, "doc_id long, text string").unionByName(
+        docs.select("doc_id", "text").limit(30)
+    )
+    cols = ["n_lines", "dup_line_ppm", "dup_line_char_ppm", "n_paras",
+            "dup_para_ppm", "dup_para_char_ppm", "top2_ppm", "top3_ppm", "top4_ppm"]
+    g = TS.gopher_repetition_flags("text")
+    got = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in df.select("doc_id", *[g[c].alias(c) for c in cols]).collect()
+    }
+    for r in df.collect():
+        assert got[r["doc_id"]] == _gopher_rep_ref(r["text"]), r["doc_id"]
+    # structural checks: the dup-line doc flags, the clean doc doesn't
+    assert got[9200001][1] > 0 and got[9200001][4] > 0
+    assert got[9200003][1] == 0 and got[9200003][4] == 0
+    # heavy 2-gram repetition dominates doc 2's top2 fraction
+    assert got[9200002][6] > 800_000
