@@ -3812,6 +3812,61 @@ FROM hcln
 """
 
 
+# url_dedup — dedupe.url_duplicates over textstats.canonical_url: the
+# URL-level first-stage dedup (scheme/www/port/fragment/tracking-param/
+# slash variants of one page fold to one canonical key, min-id survives).
+# Fixture covers every normalization rule; URLs mentioned in the real
+# documents table ride through via extract_urls. Oracle transcribes the
+# same regexp chain (steps commented 1:1 with canonical_url).
+_URLDD_FIXTURE_ROWS = [
+    (3400001, "https://www.Example.com/Path/?utm_source=x&q=1#frag"),
+    (3400002, "http://example.com/Path?q=1"),
+    (3400003, "https://example.com:443/Path/?q=1&gclid=zz"),
+    (3400004, "https://example.com/path?q=1"),
+    (3400005, "https://other.org/"),
+    (3400006, "https://other.org"),
+    (3400007, "https://example.com/Path?q=2"),
+]
+
+
+def _url_dedup_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.dedupe import url_duplicates
+
+    fixture = spark.createDataFrame(_URLDD_FIXTURE_ROWS, "doc_id long, url string")
+    from_docs = spark.table("documents").select(
+        F.col("doc_id"), F.explode(TS.extract_urls(F.col("text"))).alias("url")
+    )
+    return url_duplicates(from_docs.unionByName(fixture))
+
+
+def _url_dedup_oracle() -> str:
+    u = "url"
+    u = f"regexp_replace({u}, '#.*$', '', 'g')"                 # fragment
+    u = f"regexp_replace({u}, '(?i)^https?://', '', 'g')"       # scheme
+    host = f"lower(regexp_extract({u}, '^([^/?#]+)', 1))"
+    host = f"regexp_replace({host}, '^www\\.', '', 'g')"        # leading www.
+    host = f"regexp_replace({host}, ':(80|443)$', '', 'g')"     # default port
+    rest = f"regexp_replace({u}, '^[^/?#]+', '', 'g')"
+    rest = f"regexp_replace({rest}, '(?i)(?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g')"
+    rest = f"regexp_replace({rest}, '/+\\?', '?', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"
+    rest = f"regexp_replace({rest}, '/+$', '', 'g')"
+    return f"""
+WITH udsrc AS (
+  SELECT doc_id, u AS url
+  FROM documents, unnest(regexp_extract_all(text, {_lit(TS.URL_FULL_RE)}, 0)) AS t(u)
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, url
+  FROM {_sql_values(_URLDD_FIXTURE_ROWS, 'doc_id, url')}
+),
+udc AS (SELECT doc_id, {host} || {rest} AS canonical_url FROM udsrc),
+udm AS (SELECT canonical_url, min(doc_id) AS canonical_id FROM udc GROUP BY canonical_url)
+SELECT c.doc_id, c.canonical_url, m.canonical_id,
+       c.doc_id <> m.canonical_id AS is_dup
+FROM udc c JOIN udm m USING (canonical_url)
+"""
+
+
 # gopher_rep — textstats.gopher_repetition_flags: the repetition half of
 # Gopher Table A1 (dup line/para count+char fractions, top-{2,3,4}-gram
 # character fractions) as integer ppm. The Spark side is sort+fold
@@ -4177,6 +4232,8 @@ _EXTRAS_SUITE = [
     ("mixture_select", _mixture_select_spark),
     # textstats.gopher_repetition_flags — Gopher Table A1 repetition half
     ("gopher_rep", _gopher_rep_spark),
+    # dedupe.url_duplicates — URL-canonicalization first-stage dedup
+    ("url_dedup", _url_dedup_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -4216,6 +4273,8 @@ _EXTRAS_SUITE_ORACLE = [
      ["doc_id", "clean_md5", "clean_len", "n_lines"]),
     ("mixture_select", _MIXSEL_ORACLE, ["source", "doc_id", "n_tokens"]),
     ("gopher_rep", _gopher_rep_oracle(), ["doc_id", *_GREP_COLS]),
+    ("url_dedup", _url_dedup_oracle(),
+     ["doc_id", "canonical_url", "canonical_id", "is_dup"]),
 ]
 
 

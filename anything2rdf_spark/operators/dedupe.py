@@ -43,6 +43,29 @@ def hash64(col, seed: int = 0, mode: str = "xxhash64"):
     raise ValueError(f"unknown hash mode {mode!r}")
 
 
+def url_duplicates(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> DataFrame:
+    """URL-level dedup — the first dedup stage of every crawl-derived
+    corpus (same page fetched under tracking params, scheme, www, or
+    fragment variants): key on :func:`~anything2rdf_spark.operators.
+    textstats.canonical_url` and keep the min-id row per canonical URL.
+    Returns (doc_id, canonical_url, canonical_id, is_dup) — the
+    ``exact_duplicates`` contract over the URL key.
+
+    Same skew-safe plan as exact_duplicates: partial-aggregated min-id
+    per key (map-side combine collapses a viral URL before the shuffle)
+    + composite-key semi-join, never a window over the URL hash."""
+    from .textstats import canonical_url
+
+    d = df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url"))
+    canon = d.groupBy("canonical_url").agg(F.min(id_col).alias("canonical_id"))
+    return d.join(canon, "canonical_url").select(
+        id_col,
+        "canonical_url",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: returns (doc_id, content_hash,
     canonical_id, is_dup).

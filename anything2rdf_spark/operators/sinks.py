@@ -145,3 +145,23 @@ def split_schema_data(triples: DataFrame, schema_ns: str) -> tuple[DataFrame, Da
     namespace."""
     is_schema = F.col("subj").startswith(schema_ns)
     return triples.filter(is_schema), triples.filter(~is_schema)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = None, mode: str = "overwrite"
+) -> str:
+    """Training-data JSONL export — one JSON object per line, the
+    interchange format LLM data pipelines exchange (every public corpus
+    release — C4, The Pile, RefinedWeb, Dolma — ships as (gzipped) JSONL
+    shards. One native ``to_json(struct(*))`` projection into the text
+    writer: scan-local, one file per partition (repartition upstream to
+    choose the shard count), ``compression='gzip'`` for .gz shards.
+    Returns ``path``. Read back with ``spark.read.json(path)``."""
+    out = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+    return path

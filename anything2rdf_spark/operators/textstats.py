@@ -333,6 +333,40 @@ def html_to_text(html) -> Column:
     return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
+# Full-URL extraction (vs URL_DOMAIN_RE's domain group): everything from
+# the scheme to the first whitespace/quote/angle — the token a crawler's
+# link field or an inline mention carries.
+URL_FULL_RE = r"(?i)https?://[^\s<>\"']+"
+
+
+def extract_urls(text) -> Column:
+    """Every full URL mentioned in the text — one native
+    regexp_extract_all, the companion of :func:`extract_domains`."""
+    return F.regexp_extract_all(_c(text), F.lit(URL_FULL_RE), 0)
+
+
+def canonical_url(url) -> Column:
+    """URL canonicalization for URL-level dedup — the FIRST dedup stage of
+    web-corpus pipelines (CC-derived corpora dedup by normalized URL
+    before any content pass): drop the fragment, drop the scheme,
+    lowercase the host, strip a leading ``www.`` and an explicit default
+    port, drop tracking parameters (``utm_*``, ``gclid``, ``fbclid``),
+    and trim trailing ``?``/``&``/``/``. The PATH keeps its case (paths
+    are case-sensitive; hosts are not). Scan-local regexp chain, Java/RE2
+    dialect subset like the rest of this module."""
+    u = F.regexp_replace(_c(url), r"#.*$", "")
+    u = F.regexp_replace(u, r"(?i)^https?://", "")
+    host = F.lower(F.regexp_extract(u, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[^/?#]+", "")
+    rest = F.regexp_replace(rest, r"(?i)(?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    rest = F.regexp_replace(rest, r"/+\?", "?")  # '/path/?q' ≡ '/path?q'
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(host, rest)
+
+
 # PII scrub patterns, applied in order (email before phone so the digits in
 # a mailbox name aren't half-masked first; card before phone so a 13-15
 # digit card isn't half-masked as a phone number). Same regex dialect subset

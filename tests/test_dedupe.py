@@ -361,3 +361,27 @@ def test_fuzzy_dedup_verdicts(spark):
         df, shingle_n=3, num_hashes=16, bands=8
     ).filter("keep").collect()}
     assert kept == {1, 4}
+
+
+def test_url_duplicates_canonicalization(spark):
+    from anything2rdf_spark.operators.dedupe import url_duplicates
+
+    rows = [
+        (1, "https://www.Example.com/Path/?utm_source=x&q=1#frag"),
+        (2, "http://example.com/Path?q=1"),            # dup of 1
+        (3, "https://example.com:443/Path/?q=1&gclid=zz"),  # dup of 1
+        (4, "https://example.com/path?q=1"),           # path case differs: distinct
+        (5, "https://other.org/"),
+        (6, "https://other.org"),                      # dup of 5
+        (7, "https://example.com/Path?q=2"),           # different query: distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: (r["canonical_url"], r["canonical_id"], r["is_dup"])
+           for r in url_duplicates(df).collect()}
+    assert got[1] == ("example.com/Path?q=1", 1, False)
+    assert got[2] == ("example.com/Path?q=1", 1, True)
+    assert got[3] == ("example.com/Path?q=1", 1, True)
+    assert got[4][0] == "example.com/path?q=1" and not got[4][2]
+    assert got[5] == ("other.org", 5, False)
+    assert got[6] == ("other.org", 5, True)
+    assert not got[7][2]

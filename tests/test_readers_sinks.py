@@ -242,3 +242,23 @@ def test_write_ttl_header_file_sorts_first(spark, tmp_path):
     text = "".join(open(os.path.join(out, f)).read() for f in files)
     # prefix declaration precedes every use in name-order concatenation
     assert text.index("@prefix x:") < text.index("x:")
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    from anything2rdf_spark.operators.sinks import write_jsonl
+
+    rows = [(1, "plain text", 0.5), (2, 'quotes " and \\ slash', -1.0),
+            (3, "unicode — ”curly” and 中文", 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    p = str(tmp_path / "out.jsonl")
+    write_jsonl(df.repartition(2), p)
+    back = spark.read.json(p)
+    assert {tuple(r) for r in back.select("doc_id", "text", "score").collect()} == set(rows)
+    # gzip shards read back identically
+    pz = str(tmp_path / "out_gz.jsonl")
+    write_jsonl(df, pz, compression="gzip")
+    import glob
+
+    assert glob.glob(pz + "/*.gz")
+    backz = spark.read.json(pz)
+    assert {tuple(r) for r in backz.select("doc_id", "text", "score").collect()} == set(rows)
