@@ -192,3 +192,59 @@ def test_mentions_join_huge_dictionary_no_driver_materialization(spark):
         (r["turn_idx"], r["surface"]) for r in EX.extract_mentions_join(t, surf_df).collect()
     }
     assert got == {(0, "surf1234567 tail48"), (1, "surf17 tail17"), (1, "surf18 tail18")}
+
+
+def test_mixture_select_two_phase_equals_unsalted(spark):
+    """mixture_select with salt_buckets=1 is the plain single-window
+    selection; with many salt buckets the quota ACCOUNTING must still hold
+    per group (sum of bucket shares == quota) even when one group is viral
+    — the skew split redistributes which docs fill the quota, never how
+    much of it exists."""
+    from anything2rdf_spark.operators.curation import mixture_select, mixture_weights
+
+    rows = [(i, "hot" if i < 450 else "cold", ("w " * (4 + i % 5)).strip())
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {r["source"]: r["quota_tokens"]
+         for r in mixture_weights(df, alpha=0.5, budget_tokens=800).collect()}
+    for sb in (1, 8):
+        sel = mixture_select(df, alpha=0.5, budget_tokens=800,
+                             salt_buckets=sb, hash_mode="md5_60").collect()
+        by_grp = {}
+        for r in sel:
+            by_grp[r["source"]] = by_grp.get(r["source"], 0) + r["n_tokens"]
+        max_doc = 8
+        for g, quota in w.items():
+            if quota > max_doc:
+                assert by_grp.get(g, 0) > 0, (sb, g)
+            assert by_grp.get(g, 0) <= quota + sb * max_doc, (sb, g)
+
+
+def test_c4_and_html_ride_hot_corpus(spark):
+    """The scan-local curation front (html_to_text → c4_line_filter) over a
+    100k-row replicated corpus: still zero exchanges in the plan and the
+    job completes in one pass — the shape that holds at 100 TB."""
+    from anything2rdf_spark.operators.curation import c4_line_filter
+    from anything2rdf_spark.operators.textstats import html_to_text
+
+    base = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("<p>The farmer walked to the barn at dawn with tools no. "),
+            F.col("id").cast("string"),
+            F.lit(".</p><p>A second full sentence keeps this page alive today.</p>"
+                  "<p>A third full sentence closes out the page cleanly now.</p>"),
+        ).alias("text"),
+    )
+    cleaned = base.withColumn("text", html_to_text(F.col("text")))
+    out = c4_line_filter(cleaned)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+    agg = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("keep_page").cast("int")).alias("kept")).first()
+    assert agg["n"] == 100_000 and agg["kept"] == 100_000
