@@ -3419,6 +3419,45 @@ GROUP BY doc_id
 """
 
 
+# lm_logprob — textstats.seed_lm_logprob: the perplexity-filter form of
+# the CCNet signal — add-one-smoothed char-trigram conditional LM trained
+# on the seed split, scores as integer micronats (DSIR grid), average NLL
+# via truncating division (Spark `div` ≡ DuckDB `//`). Shares the LM
+# fixture so familiar/variant/unseen/too-short docs all ride the gate.
+def _lm_logprob_spark(spark: SparkSession) -> DataFrame:
+    fixture = spark.createDataFrame(_LM_FIXTURE_ROWS, "doc_id long, text string")
+    docs = spark.table("documents").select("doc_id", "text").unionByName(fixture)
+    return TS.seed_lm_logprob(docs)
+
+
+def _lm_logprob_oracle() -> str:
+    return rf"""
+WITH lptri AS (
+  SELECT a.doc_id, substr(a.norm, CAST(t.d AS INT), 3) AS tg
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM ({_extras_docs_sql(_LM_FIXTURE_ROWS)}) s) a,
+       unnest(generate_series(1, len(a.norm) - 2)) AS t(d)
+  WHERE len(a.norm) >= 3
+),
+lpm3 AS (SELECT tg, count(*) AS c3 FROM lptri WHERE doc_id % 97 = 0 GROUP BY tg),
+lpm2 AS (SELECT substr(tg, 1, 2) AS bg, CAST(sum(c3) AS BIGINT) AS c2 FROM lpm3 GROUP BY bg),
+lpv AS (SELECT count(DISTINCT ch) AS v
+        FROM lpm3, unnest([substr(tg, 1, 1), substr(tg, 2, 1), substr(tg, 3, 1)]) AS u(ch)),
+lps AS (
+  SELECT t.doc_id,
+         CAST(floor(1000000.0 * (ln(coalesce(m3.c3, 0) + 1)
+                                 - ln(greatest(coalesce(m2.c2, 0) + lpv.v, 1)))) AS BIGINT) AS lam
+  FROM lptri t
+  LEFT JOIN lpm3 m3 USING (tg)
+  LEFT JOIN lpm2 m2 ON substr(t.tg, 1, 2) = m2.bg
+  CROSS JOIN lpv
+)
+SELECT doc_id, count(*) AS n_tri, CAST(sum(lam) AS BIGINT) AS logprob_micro,
+       (0 - CAST(sum(lam) AS BIGINT)) // count(*) AS nll_micro
+FROM lps GROUP BY doc_id
+"""
+
+
 # lm_buckets — textstats.lm_quality_buckets: CCNet head/middle/tail tercile
 # partitioning (Wenzek et al. 2020 §4.3) over the familiarity score.
 # Discrete thresholds at cumulative ceil(n/3)/ceil(2n/3) — integer
@@ -4234,6 +4273,8 @@ _EXTRAS_SUITE = [
     ("gopher_rep", _gopher_rep_spark),
     # dedupe.url_duplicates — URL-canonicalization first-stage dedup
     ("url_dedup", _url_dedup_spark),
+    # textstats.seed_lm_logprob — smoothed trigram LM perplexity filter
+    ("lm_logprob", _lm_logprob_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -4275,6 +4316,8 @@ _EXTRAS_SUITE_ORACLE = [
     ("gopher_rep", _gopher_rep_oracle(), ["doc_id", *_GREP_COLS]),
     ("url_dedup", _url_dedup_oracle(),
      ["doc_id", "canonical_url", "canonical_id", "is_dup"]),
+    ("lm_logprob", _lm_logprob_oracle(),
+     ["doc_id", "n_tri", "logprob_micro", "nll_micro"]),
 ]
 
 

@@ -668,6 +668,84 @@ def seed_lm_familiarity(
     )
 
 
+def seed_lm_logprob(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_mod: int = 97,
+):
+    """Add-one-smoothed character-trigram LM log-likelihood — the
+    perplexity-filter form of the CCNet signal (Wenzek et al. 2020 filter
+    by KenLM perplexity; :func:`seed_lm_familiarity` is the coverage
+    proxy, this is the actual conditional log-probability):
+
+      P(c₃ | c₁c₂) = (c3(tri) + 1) / (c2(prefix) + V)
+
+    with c3 the seed-split trigram counts, c2 the prefix mass (sum of c3
+    over trigrams sharing the 2-char prefix — the consistent conditional
+    denominator), and V the seed alphabet size (distinct characters of
+    the seed trigrams). Returns one row per document with ≥ 1 trigram:
+
+      n_tri          trigram count
+      logprob_micro  Σ floor(1e6·ln P) over the doc's trigram instances —
+                     integer micronats, exact order-independent sums
+                     (the DSIR libm-proofing)
+      nll_micro      (0 − logprob_micro) div n_tri — average negative log
+                     likelihood, the filterable perplexity proxy
+                     (truncating division: Spark ``div`` ≡ DuckDB ``//``)
+
+    Plan at scale: both model tables partial-aggregate the SEED split
+    only (bounded by charset³ rows) and BROADCAST; V is one broadcast
+    scalar; scoring is explode → two broadcast joins → one partial-
+    aggregated groupBy(doc_id). No window, no Python. The ``greatest(…,
+    1)`` in the denominator keeps the expression total when the corpus
+    has no seed docs at all (everything scores the uniform floor).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), char_trigrams(text_col).alias("_tg")
+    )
+    tri = d.select("doc_id", F.explode("_tg").alias("tg"))
+    m3 = (
+        tri.filter(F.pmod("doc_id", F.lit(seed_mod)) == 0)
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    m2 = m3.groupBy(F.substring("tg", 1, 2).alias("bg")).agg(
+        F.sum("c3").alias("c2")
+    )
+    v = m3.select(
+        F.explode(
+            F.array(
+                F.substring("tg", 1, 1),
+                F.substring("tg", 2, 1),
+                F.substring("tg", 3, 1),
+            )
+        ).alias("ch")
+    ).agg(F.count_distinct("ch").alias("v"))
+    scored = (
+        tri.join(F.broadcast(m3), "tg", "left")
+        .withColumn("bg", F.substring("tg", 1, 2))
+        .join(F.broadcast(m2), "bg", "left")
+        .crossJoin(F.broadcast(v))
+    )
+    lam = F.floor(
+        F.lit(1_000_000.0)
+        * (
+            F.log(F.coalesce("c3", F.lit(0)) + 1)
+            - F.log(F.greatest(F.coalesce("c2", F.lit(0)) + F.col("v"), F.lit(1)))
+        )
+    ).cast("long")
+    return (
+        scored.select("doc_id", lam.alias("lam"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum("lam").alias("logprob_micro"),
+        )
+        .withColumn("nll_micro", F.expr("(0 - logprob_micro) div n_tri"))
+    )
+
+
 def lm_quality_buckets(
     docs,
     id_col: str = "doc_id",

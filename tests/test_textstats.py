@@ -1254,3 +1254,49 @@ def test_gopher_repetition_flags_matches_python_reference(spark, docs):
     assert got[9200003][1] == 0 and got[9200003][4] == 0
     # heavy 2-gram repetition dominates doc 2's top2 fraction
     assert got[9200002][6] > 800_000
+
+
+def test_seed_lm_logprob_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (97 * 1, "the cat sat on the mat and the dog ran to the barn"),
+        (97 * 2, "the farmer kept the tools in the old barn every day"),
+        (5, "the cat sat on the mat"),          # familiar: low NLL
+        (6, "zzzz qqqq xxxx wwww vvvv"),        # unfamiliar: high NLL
+        (7, "ab"),                               # < 3 chars: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tri"], r["logprob_micro"], r["nll_micro"])
+        for r in TS.seed_lm_logprob(df).collect()
+    }
+
+    def trigrams(t):
+        norm = re.sub(r"\s+", " ", t.lower()).strip(" ")
+        return [norm[i:i + 3] for i in range(len(norm) - 2)] if len(norm) >= 3 else []
+
+    c3 = Counter()
+    for i, t in rows:
+        if i % 97 == 0:
+            c3.update(trigrams(t))
+    c2 = Counter()
+    for tg, c in c3.items():
+        c2[tg[:2]] += c
+    V = len({ch for tg in c3 for ch in tg})
+    want = {}
+    for i, t in rows:
+        tgs = trigrams(t)
+        if not tgs:
+            continue
+        lp = sum(
+            math.floor(1_000_000.0 * (math.log(c3.get(tg, 0) + 1)
+                                      - math.log(max(c2.get(tg[:2], 0) + V, 1))))
+            for tg in tgs
+        )
+        want[i] = (len(tgs), lp, (0 - lp) // len(tgs))
+    assert got == want
+    assert 7 not in got
+    # perplexity ordering: familiar text scores a lower NLL than junk
+    assert got[5][2] < got[6][2]
