@@ -203,6 +203,8 @@ def streaming_curate(
     langs=("en",),
     min_quality: float = 0.0,
     watermark: str = "10 minutes",
+    html: bool = False,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """Streaming analog of ``curation.curate_corpus``: bounded-state exact
     dedup — ``dropDuplicatesWithinWatermark`` on the same normalized
@@ -218,10 +220,32 @@ def streaming_curate(
     derived from the surviving row (lang, quality, clean_text, tokens) is
     identical either way because the duplicates' texts are equal by
     construction; the batch-equivalence test compares on those columns.
-    """
-    from ..operators.dedupe import normalized_text
-    from ..operators.textstats import lang_id, quality_score, redact_pii, ws_token_count
 
+    ``html``/``c4_rules`` prepend the same scan-local HTML extraction and
+    C4 line rules the batch chain grew (pure narrow ops — they compose
+    with readStream unchanged), applied BEFORE dedup exactly like batch so
+    the stream ≡ batch equivalence holds content-for-content.
+    """
+    from ..operators.curation import c4_keep_page, c4_kept_lines
+    from ..operators.dedupe import normalized_text
+    from ..operators.textstats import (
+        html_to_text,
+        lang_id,
+        quality_score,
+        redact_pii,
+        ws_token_count,
+    )
+
+    if html:
+        doc_stream = doc_stream.withColumn("text", html_to_text(F.col("text")))
+    if c4_rules:
+        kept = c4_kept_lines(F.col("text"))
+        doc_stream = (
+            doc_stream.withColumn("_kp", c4_keep_page(F.col("text"), kept))
+            .withColumn("text", F.array_join(c4_kept_lines(F.col("text")), "\n"))
+            .filter(F.col("_kp"))
+            .drop("_kp")
+        )
     d = (
         doc_stream.withColumn("_fp", F.sha2(normalized_text("text"), 256))
         .withWatermark("ts", watermark)

@@ -229,3 +229,54 @@ def test_streaming_curate_matches_batch(spark, tmp_path):
     assert got.count() == batch.count() == 2  # dup collapsed; de + junk-lang rows judged same
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
     assert got.filter(F.col("clean_text").contains("<EMAIL>")).count() == 1
+
+
+def test_streaming_curate_html_c4_matches_batch(spark, tmp_path):
+    """With html+c4_rules on, stream ≡ batch on surviving content: the HTML
+    page survives extraction + line rules identically, the lorem page and
+    the no-terminal-punct page drop in both engines."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.curation import curate_corpus
+
+    rows1 = [
+        (1, "<p>The farmer walked to the barn at dawn with his good tools.</p>"
+            "<p>The second sentence is here to keep the page alive today.</p>"
+            "<p>The third sentence rounds out the surviving page for now.</p>"),
+        (2, "<p>Lorem ipsum dolor sit amet consectetur adipiscing elit.</p>"
+            "<p>More filler for the doomed page goes right here today.</p>"
+            "<p>The third line keeps the count safe in this page too.</p>"),
+    ]
+    rows2 = [
+        (3, "no markup and no terminal punctuation on this single line"),
+    ]
+    src = str(tmp_path / "curate_c4_src")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    mk(rows1).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    mk(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        SE.streaming_curate(
+            SE.read_documents_stream(spark, src, max_files=1),
+            langs=None, html=True, c4_rules=True,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_curate_c4")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT lang_guess, quality, ws_tokens, clean_text FROM t_curate_c4")
+    batch = curate_corpus(
+        spark.createDataFrame(rows1 + rows2, "doc_id long, text string"),
+        langs=None, html=True, c4_rules=True,
+    ).select("lang_guess", "quality", "ws_tokens", "clean_text")
+    assert got.count() == batch.count() == 1
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    assert "\n" in got.first()["clean_text"]
