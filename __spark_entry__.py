@@ -3906,6 +3906,51 @@ FROM udc c JOIN udm m USING (canonical_url)
 """
 
 
+# novel_docs — dedupe.novel_documents: incremental cross-snapshot dedup.
+# The prior snapshot is simulated as the hashes of documents with
+# doc_id % 7 == 0; the new batch is the whole table plus a fixture
+# in-batch duplicate pair — so snapshot-suppression, in-batch dedup, and
+# plain novelty all ride the gate.
+_NOVEL_FIXTURE_ROWS = [
+    (3500001, "a brand new page that appears twice in this crawl batch"),
+    (3500002, "a brand new page that appears twice in this crawl batch"),
+    (3500003, "a singleton novel page unlike anything before"),
+]
+
+
+def _novel_docs_spark(spark: SparkSession) -> DataFrame:
+    from anything2rdf_spark.operators.dedupe import normalized_text, novel_documents
+
+    docs = spark.table("documents").select("doc_id", "text")
+    seen = docs.filter("doc_id % 7 = 0").select(
+        F.sha2(normalized_text("text"), 256).alias("content_hash")
+    )
+    fixture = spark.createDataFrame(_NOVEL_FIXTURE_ROWS, "doc_id long, text string")
+    return novel_documents(docs.unionByName(fixture), seen)
+
+
+_NOVEL_ORACLE = rf"""
+WITH nvsrc AS ({_extras_docs_sql(_NOVEL_FIXTURE_ROWS)}),
+nvh AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+  FROM nvsrc
+),
+nvseen AS (
+  SELECT DISTINCT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+  FROM documents WHERE doc_id % 7 = 0
+),
+nvnew AS (
+  SELECT h.doc_id, h.content_hash FROM nvh h
+  WHERE NOT EXISTS (SELECT 1 FROM nvseen s WHERE s.content_hash = h.content_hash)
+)
+SELECT n.doc_id, n.content_hash
+FROM nvnew n
+JOIN (SELECT content_hash, min(doc_id) AS doc_id FROM nvnew GROUP BY content_hash) c
+  ON n.content_hash = c.content_hash AND n.doc_id = c.doc_id
+"""
+
+
 # gopher_rep — textstats.gopher_repetition_flags: the repetition half of
 # Gopher Table A1 (dup line/para count+char fractions, top-{2,3,4}-gram
 # character fractions) as integer ppm. The Spark side is sort+fold
@@ -4275,6 +4320,8 @@ _EXTRAS_SUITE = [
     ("url_dedup", _url_dedup_spark),
     # textstats.seed_lm_logprob — smoothed trigram LM perplexity filter
     ("lm_logprob", _lm_logprob_spark),
+    # dedupe.novel_documents — incremental cross-snapshot dedup
+    ("novel_docs", _novel_docs_spark),
 ]
 
 _EXTRAS_SUITE_ORACLE = [
@@ -4318,6 +4365,7 @@ _EXTRAS_SUITE_ORACLE = [
      ["doc_id", "canonical_url", "canonical_id", "is_dup"]),
     ("lm_logprob", _lm_logprob_oracle(),
      ["doc_id", "n_tri", "logprob_micro", "nll_micro"]),
+    ("novel_docs", _NOVEL_ORACLE, ["doc_id", "content_hash"]),
 ]
 
 

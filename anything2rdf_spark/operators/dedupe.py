@@ -66,6 +66,36 @@ def url_duplicates(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") 
     )
 
 
+def novel_documents(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the standing-corpus pattern of
+    a continuously-crawled pipeline: a new batch dedups (a) against the
+    PRIOR snapshot's content-hash table and (b) within itself, keeping the
+    min-id representative of each novel content. ``seen_hashes`` carries
+    ``hash_col`` = sha256 of :func:`normalized_text` — exactly the
+    ``exact_duplicates`` key, so the snapshot table is just its
+    ``content_hash`` column persisted across crawls. Returns the
+    surviving rows: (doc_id, content_hash).
+
+    Plan at scale: the hash rides the new-batch scan; (a) is an ANTI join
+    on the hash (broadcast when the snapshot table is dim-sized, shuffle
+    hash join — AQE-splittable — when it is crawl-scale); (b) is the
+    skew-safe partial-aggregated min-per-hash + composite-key semi-join,
+    never a window (a viral duplicate collapses map-side)."""
+    d = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalized_text(text_col), 256).alias(hash_col),
+    )
+    d = d.join(seen_hashes.select(F.col(hash_col)).distinct(), hash_col, "left_anti")
+    canon = d.groupBy(hash_col).agg(F.min("doc_id").alias("doc_id"))
+    return d.join(canon, [hash_col, "doc_id"], "left_semi").select("doc_id", hash_col)
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: returns (doc_id, content_hash,
     canonical_id, is_dup).

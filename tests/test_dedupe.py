@@ -385,3 +385,28 @@ def test_url_duplicates_canonicalization(spark):
     assert got[5] == ("other.org", 5, False)
     assert got[6] == ("other.org", 5, True)
     assert not got[7][2]
+
+
+def test_novel_documents_cross_snapshot(spark):
+    from anything2rdf_spark.operators.dedupe import normalized_text, novel_documents
+
+    seen_src = spark.createDataFrame(
+        [(100, "previously crawled page text"), (101, "another old page")],
+        "doc_id long, text string",
+    )
+    seen = seen_src.select(F.sha2(normalized_text("text"), 256).alias("content_hash"))
+    new = spark.createDataFrame(
+        [
+            (1, "a genuinely new page appears"),
+            (2, "Previously   CRAWLED page text"),   # normalizes to a seen hash
+            (3, "a genuinely new page appears"),     # in-batch dup of 1
+            (4, "another fresh one entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in novel_documents(new, seen).collect()}
+    assert got == {1, 4}
+    # idempotence: feeding survivors' hashes back as the snapshot leaves nothing
+    surv = novel_documents(new, seen).select("content_hash")
+    again = novel_documents(new, seen.unionByName(surv))
+    assert again.count() == 0
