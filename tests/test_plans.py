@@ -223,3 +223,32 @@ def test_pq_encode_is_shuffle_free(spark):
     p = plan(SM.pq_encode(emb, cbs))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_seed_lm_logprob_broadcasts_models(spark, transcripts):
+    """Both LM model tables (trigram counts, prefix mass) and the alphabet
+    scalar reach the scoring join as broadcasts — the corpus side shuffles
+    only for the final per-doc aggregate."""
+    from anything2rdf_spark.operators.textstats import seed_lm_logprob
+
+    docs = transcripts.select(
+        F.abs(F.xxhash64("conv_id", "turn_idx")).alias("doc_id"), "text"
+    )
+    p = plan(seed_lm_logprob(docs))
+    assert p.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_pq_adc_scan_broadcasts_queries(spark):
+    """The ADC scan is corpus-side scan-local (codes computed in the scan)
+    with the query table broadcast — no shuffle before the top-k window."""
+    from anything2rdf_spark.operators import similarity as SM
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cbs = SM.pq_train(emb.limit(16), m=4, ksub=4, iters=1)
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan(SM.pq_adc_topk(emb, q, cbs, k=5))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
