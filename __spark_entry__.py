@@ -3765,6 +3765,10 @@ _C4_FIXTURE_ROWS = [
               "“We should begin loading the wagons early tomorrow morning.”\n"
               "The others nodded and went back to their quiet evening work."),
     (3000006, ""),
+    # CRLF page — the \r?\n split keeps Java's $ and RE2's $ agreeing
+    (3000007, "The wagon rolled down the long hill before first light.\r\n"
+              "Nobody spoke until the river crossing came into view.\r\n"
+              "They unloaded the crates beside the mill at midday.\r\n"),
 ]
 
 
@@ -3779,8 +3783,8 @@ def _c4_clean_oracle() -> str:
 WITH c4src AS ({_extras_docs_sql(_C4_FIXTURE_ROWS)}),
 c4per AS (
   SELECT doc_id, text,
-         string_split(text, chr(10)) AS ls,
-         list_filter(string_split(text, chr(10)), l ->
+         string_split_regex(text, '\r?\n') AS ls,
+         list_filter(string_split_regex(text, '\r?\n'), l ->
              regexp_matches(trim(l), {_lit(CU.C4_LINE_TERMINAL_RE)})
              AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), x -> x <> '')) >= 5
              AND NOT contains(lower(l), 'javascript')
@@ -3865,6 +3869,12 @@ _URLDD_FIXTURE_ROWS = [
     (3400005, "https://other.org/"),
     (3400006, "https://other.org"),
     (3400007, "https://example.com/Path?q=2"),
+    # tracking-param names as substrings must NOT be clipped (anchored strip)
+    (3400008, "https://example.com/p?not_gclid=5"),
+    (3400009, "https://example.com/p?xgclid=1&q=2"),
+    (3400010, "https://example.com/buygclid=7/page"),
+    (3400011, "https://example.com/p?utm_a=1&utm_b=2&q=3"),
+    (3400012, "https://example.com/p?q=3"),
 ]
 
 
@@ -3886,7 +3896,8 @@ def _url_dedup_oracle() -> str:
     host = f"regexp_replace({host}, '^www\\.', '', 'g')"        # leading www.
     host = f"regexp_replace({host}, ':(80|443)$', '', 'g')"     # default port
     rest = f"regexp_replace({u}, '^[^/?#]+', '', 'g')"
-    rest = f"regexp_replace({rest}, '(?i)(?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g')"
+    rest = f"regexp_replace({rest}, '(?i)&(?:utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g')"
+    rest = f"regexp_replace({rest}, '(?i)\\?(?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '?', 'g')"
     rest = f"regexp_replace({rest}, '/+\\?', '?', 'g')"
     rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"
     rest = f"regexp_replace({rest}, '/+$', '', 'g')"
@@ -4113,7 +4124,7 @@ mstok AS (
 msg AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS gt FROM mstok GROUP BY source),
 msw AS (SELECT source, CAST(floor(1000000.0 * sqrt(CAST(gt AS DOUBLE))) AS BIGINT) AS w FROM msg),
 mst AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM msw),
-msq AS (SELECT source, (((1000000 * w) // tot) * {_MIXSEL_BUDGET}) // 1000000 AS quota FROM msw, mst),
+msq AS (SELECT source, CAST((((1000000::HUGEINT * w) // tot) * {_MIXSEL_BUDGET}) // 1000000 AS BIGINT) AS quota FROM msw, mst),
 msh AS (
   SELECT t.doc_id, t.source, t.n_tokens,
          ('0x' || substr(md5('17:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
@@ -4260,9 +4271,11 @@ mxw AS (
   FROM mxg
 ),
 mxt AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM mxw)
+-- HUGEINT widening mirrors the Spark side's DECIMAL(38,0): the α=1 /
+-- 1e13-token case would overflow BIGINT in both engines otherwise
 SELECT source, n_docs, n_tokens, w_micro,
-       (1000000 * w_micro) // tot_w AS share_ppm,
-       (((1000000 * w_micro) // tot_w) * {_MIX_BUDGET}) // 1000000 AS quota_tokens
+       CAST((1000000::HUGEINT * w_micro) // tot_w AS BIGINT) AS share_ppm,
+       CAST((((1000000::HUGEINT * w_micro) // tot_w) * {_MIX_BUDGET}) // 1000000 AS BIGINT) AS quota_tokens
 FROM mxw, mxt
 """
 

@@ -66,18 +66,7 @@ def curate_corpus(
       chain stays one pass + one shuffle with either flag on.
     """
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    if html:
-        from .textstats import html_to_text
-
-        d = d.withColumn("text", html_to_text(F.col("text")))
-    if c4_rules:
-        kept = c4_kept_lines(F.col("text"))
-        d = (
-            d.withColumn("_kp", c4_keep_page(F.col("text"), kept))
-            .withColumn("text", F.array_join(c4_kept_lines(F.col("text")), "\n"))
-            .filter(F.col("_kp"))
-            .drop("_kp")
-        )
+    d = apply_html_c4(d, html=html, c4_rules=c4_rules)
     if dedup:
         d = d.withColumn("_h", F.sha2(normalized_text("text"), 256))
         canon = d.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
@@ -488,15 +477,19 @@ def mixture_weights(
 
     * ``w_micro``   = floor(1e6 · n_tokens^α)  (α=1: n_tokens itself);
     * ``share_ppm`` = (1e6 · w_micro) div Σ w_micro — the group's mixture
-      probability in ppm, INTEGER division so it is exact past 2^53;
+      probability in ppm, exact integer division;
     * ``quota_tokens`` = (share_ppm · budget_tokens) div 1e6 — the group's
       token budget at ppm granularity (when ``budget_tokens`` is given).
 
+    The two divisions run in DECIMAL(38,0) (DuckDB mirror: HUGEINT), so
+    neither the 1e6-scaled numerator (α=1 with a 1e13-token group would
+    overflow a BIGINT) nor share·budget can wrap — Spark's ANSI mode
+    would otherwise kill the job with ARITHMETIC_OVERFLOW exactly at the
+    corpus sizes this operator targets.
+
     Plan at scale: one partial-aggregated groupBy over the corpus (the
     only shuffle — map-side combine reduces each task to ≤ |groups| rows),
-    then a single-row total broadcast onto the dimension-sized result. At
-    100 TB (~1e13 tokens ⇒ w_micro ~ 3e12 for α=0.5) the 1e6-scaled
-    numerator still fits a BIGINT with two decades of headroom.
+    then a single-row total broadcast onto the dimension-sized result.
     """
     from .textstats import ws_token_count
 
@@ -520,12 +513,17 @@ def mixture_weights(
         "n_docs",
         "n_tokens",
         "w_micro",
-        F.expr("(1000000 * w_micro) div tot_w").alias("share_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * w_micro) div tot_w AS BIGINT)"
+        ).alias("share_ppm"),
     )
     if budget_tokens is not None:
         out = out.withColumn(
             "quota_tokens",
-            F.expr(f"(share_ppm * CAST({int(budget_tokens)} AS BIGINT)) div 1000000"),
+            F.expr(
+                f"CAST((CAST(share_ppm AS DECIMAL(38,0)) * {int(budget_tokens)})"
+                " div 1000000 AS BIGINT)"
+            ),
         )
     return out
 
@@ -607,7 +605,13 @@ C4_LINE_TERMINAL_RE = "[.!?\"'”’]$"
 def c4_kept_lines(text, min_words: int = 5):
     """The surviving lines of a page under C4's line rules, as an
     array<string> column — the shared expression behind
-    :func:`c4_line_filter` and ``curate_corpus(c4_rules=True)``."""
+    :func:`c4_line_filter` and ``curate_corpus(c4_rules=True)``.
+
+    Lines split on ``\\r?\\n`` (not bare ``\\n``): CRLF text would
+    otherwise leave a trailing ``\\r`` on every line, and Java's
+    unanchored ``$`` matches BEFORE a final line terminator while RE2's
+    does not — the terminal-punctuation test would diverge between Spark
+    and the oracle engine on every CRLF document."""
 
     def _ok(line):
         t = F.trim(line)
@@ -618,7 +622,7 @@ def c4_kept_lines(text, min_words: int = 5):
             & (F.instr(F.lower(line), "javascript") == 0)
         )
 
-    return F.filter(F.split(text, "\n"), _ok)
+    return F.filter(F.split(text, r"\r?\n"), _ok)
 
 
 def c4_keep_page(text, kept, min_kept_lines: int = 3):
@@ -629,6 +633,32 @@ def c4_keep_page(text, kept, min_kept_lines: int = 3):
         & (F.instr(text, "{") == 0)
         & (F.size(kept) >= min_kept_lines)
     )
+
+
+def apply_html_c4(
+    df: DataFrame, html: bool = False, c4_rules: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """The shared cleaning preamble of ``curate_corpus`` and
+    ``streaming_curate``: optional HTML→text extraction, then optional C4
+    line rules (text becomes the surviving lines, pages failing
+    :func:`c4_keep_page` drop). ONE implementation for batch and
+    streaming — the ops are pure narrow expressions, so they compose with
+    readStream unchanged; keeping a single copy is what makes the
+    stream ≡ batch equivalence test a guarantee instead of a hope."""
+    if html:
+        from .textstats import html_to_text
+
+        df = df.withColumn(text_col, html_to_text(F.col(text_col)))
+    if c4_rules:
+        kept = c4_kept_lines(F.col(text_col))
+        df = (
+            df.withColumn("_kp", c4_keep_page(F.col(text_col), kept))
+            .withColumn(text_col, F.array_join(kept, "\n"))
+            .filter(F.col("_kp"))
+            .drop("_kp")
+        )
+    return df
 
 
 def c4_line_filter(
@@ -662,7 +692,7 @@ def c4_line_filter(
     convention the DSIR featurizer uses).
     """
     kept = c4_kept_lines(F.col(text_col), min_words)
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), r"\r?\n")
     clean = F.array_join(kept, "\n")
     keep_page = c4_keep_page(F.col(text_col), kept, min_kept_lines)
     return docs.select(

@@ -53,12 +53,22 @@ def url_duplicates(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") 
 
     Same skew-safe plan as exact_duplicates: partial-aggregated min-id
     per key (map-side combine collapses a viral URL before the shuffle)
-    + composite-key semi-join, never a window over the URL hash."""
+    + composite-key semi-join, never a window over the URL hash.
+
+    NULL urls pass through as non-duplicates (canonical_id = own id) —
+    they must not silently vanish from the survivor set, and an equi-join
+    on a NULL key would drop them; the grouping key coalesces to a
+    per-row sentinel so each null-url row is its own group."""
     from .textstats import canonical_url
 
     d = df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url"))
-    canon = d.groupBy("canonical_url").agg(F.min(id_col).alias("canonical_id"))
-    return d.join(canon, "canonical_url").select(
+    key = F.coalesce(
+        F.col("canonical_url"),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+    )
+    d = d.withColumn("_k", key)
+    canon = d.groupBy("_k").agg(F.min(id_col).alias("canonical_id"))
+    return d.join(canon, "_k").select(
         id_col,
         "canonical_url",
         "canonical_id",
@@ -91,7 +101,10 @@ def novel_documents(
         F.col(id_col).alias("doc_id"),
         F.sha2(normalized_text(text_col), 256).alias(hash_col),
     )
-    d = d.join(seen_hashes.select(F.col(hash_col)).distinct(), hash_col, "left_anti")
+    # no .distinct() on the snapshot side: anti-join semantics ignore key
+    # multiplicity, and a distinct would add a full extra shuffle over the
+    # crawl-scale snapshot on every incremental batch
+    d = d.join(seen_hashes.select(F.col(hash_col)), hash_col, "left_anti")
     canon = d.groupBy(hash_col).agg(F.min("doc_id").alias("doc_id"))
     return d.join(canon, [hash_col, "doc_id"], "left_semi").select("doc_id", hash_col)
 

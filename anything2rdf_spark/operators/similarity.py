@@ -632,6 +632,62 @@ def pq_train(
     return codebooks
 
 
+def _pq_codes_expr(codebooks, vec_col, quantize_scale: int):
+    """array<int> of per-subspace argmin codes — the one encoding
+    expression shared by pq_encode, pq_adc_topk, and ivfpq_topk."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    qv = quantize_vec(vec_col, quantize_scale)
+    return F.array(
+        *[
+            _pq_best_code(F.slice(qv, s * dsub + 1, dsub), codebooks[s])
+            for s in range(m)
+        ]
+    )
+
+
+def _pq_qsubs_expr(codebooks, vec_col, quantize_scale: int):
+    """array<array<long>> of the query's quantized subvectors."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    qv = quantize_vec(vec_col, quantize_scale)
+    return F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)])
+
+
+def _pq_codebook_lit(codebooks):
+    """The codebooks as one nested literal array (broadcast with the plan)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(x)).cast("long") for x in code])
+                    for code in codes
+                ]
+            )
+            for codes in codebooks
+        ]
+    )
+
+
+def _pq_adc_dist(codebooks, codes_col="codes", qsubs_col="_qsubs"):
+    """The exact-integer ADC distance: Σ_s L2²(qsub[s], cb[s][codes[s]]) —
+    a native codeword gather + fold, shared by pq_adc_topk and ivfpq_topk
+    so the two scans can never drift."""
+    cb = _pq_codebook_lit(codebooks)
+    dist = None
+    for s in range(len(codebooks)):
+        codeword = F.element_at(
+            F.element_at(cb, s + 1), F.element_at(codes_col, s + 1) + 1
+        )
+        term = F.aggregate(
+            F.zip_with(
+                F.element_at(qsubs_col, s + 1), codeword, lambda x, w: (x - w) * (x - w)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[int]]],
@@ -644,16 +700,10 @@ def pq_encode(
     m=4, the whole point of PQ at 100 TB: the code table fits in a
     fraction of the embedding footprint and the ADC scan reads only it).
     One scan-local pass, codebooks broadcast as literals, zero shuffles."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    qv = quantize_vec(vec_col, quantize_scale)
-    codes = F.array(
-        *[
-            _pq_best_code(F.slice(qv, s * dsub + 1, dsub), codebooks[s])
-            for s in range(m)
-        ]
+    return df.select(
+        F.col(id_col),
+        _pq_codes_expr(codebooks, vec_col, quantize_scale).alias("codes"),
     )
-    return df.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -684,36 +734,13 @@ def pq_adc_topk(
     """
     from pyspark.sql import Window as W
 
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    cb = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(x)).cast("long") for x in code])
-                    for code in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    qv = quantize_vec(vec_col, quantize_scale)
-    qsubs = F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)])
     c = pq_encode(corpus, codebooks, id_col, vec_col, quantize_scale)
-    q = queries.select(F.col(query_id_col), qsubs.alias("_qsubs"))
-    dist = None
-    for s in range(m):
-        codeword = F.element_at(F.element_at(cb, s + 1), F.element_at("codes", s + 1) + 1)
-        term = F.aggregate(
-            F.zip_with(
-                F.element_at("_qsubs", s + 1), codeword, lambda x, w: (x - w) * (x - w)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, z: acc + z,
-        )
-        dist = term if dist is None else dist + term
+    q = queries.select(
+        F.col(query_id_col),
+        _pq_qsubs_expr(codebooks, vec_col, quantize_scale).alias("_qsubs"),
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
-        query_id_col, id_col, dist.alias("adc_dist")
+        query_id_col, id_col, _pq_adc_dist(codebooks).alias("adc_dist")
     )
     w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -749,49 +776,20 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window as W
 
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    qv = quantize_vec(vec_col, quantize_scale)
     cscores = _centroid_scores_int(vec_col, ivf_centroids, quantize_scale)
     c = corpus.select(
         F.col(id_col),
         F.array_min(cscores)["j"].alias("_cl"),
-        F.array(
-            *[
-                _pq_best_code(F.slice(qv, s * dsub + 1, dsub), codebooks[s])
-                for s in range(m)
-            ]
-        ).alias("codes"),
+        _pq_codes_expr(codebooks, vec_col, quantize_scale).alias("codes"),
     )
     probes = F.transform(F.slice(F.array_sort(cscores), 1, nprobe), lambda s: s["j"])
-    qsubs = F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)])
     q = queries.select(
-        F.col(query_id_col), qsubs.alias("_qsubs"), F.explode(probes).alias("_cl")
+        F.col(query_id_col),
+        _pq_qsubs_expr(codebooks, vec_col, quantize_scale).alias("_qsubs"),
+        F.explode(probes).alias("_cl"),
     )
-    cb = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(x)).cast("long") for x in code])
-                    for code in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    dist = None
-    for s in range(m):
-        codeword = F.element_at(F.element_at(cb, s + 1), F.element_at("codes", s + 1) + 1)
-        term = F.aggregate(
-            F.zip_with(
-                F.element_at("_qsubs", s + 1), codeword, lambda x, w: (x - w) * (x - w)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, z: acc + z,
-        )
-        dist = term if dist is None else dist + term
     scored = c.join(F.broadcast(q), "_cl").select(
-        query_id_col, id_col, dist.alias("adc_dist")
+        query_id_col, id_col, _pq_adc_dist(codebooks).alias("adc_dist")
     )
     w = W.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -148,7 +148,8 @@ def split_schema_data(triples: DataFrame, schema_ns: str) -> tuple[DataFrame, Da
 
 
 def write_jsonl(
-    df: DataFrame, path: str, compression: str | None = None, mode: str = "overwrite"
+    df: DataFrame, path: str, compression: str | None = None, mode: str = "overwrite",
+    keep_nulls: bool = True,
 ) -> str:
     """Training-data JSONL export — one JSON object per line, the
     interchange format LLM data pipelines exchange (every public corpus
@@ -156,9 +157,17 @@ def write_jsonl(
     shards. One native ``to_json(struct(*))`` projection into the text
     writer: scan-local, one file per partition (repartition upstream to
     choose the shard count), ``compression='gzip'`` for .gz shards.
-    Returns ``path``. Read back with ``spark.read.json(path)``."""
+    Returns ``path``. Read back with ``spark.read.json(path)``.
+
+    ``keep_nulls`` (default True) overrides Spark's to_json default of
+    DROPPING null-valued keys — without it an all-null column vanishes
+    from every line, read-back schema inference loses the column, and the
+    promised round-trip breaks on the first ``select`` of it."""
     out = df.select(
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {"ignoreNullFields": "false"} if keep_nulls else {},
+        ).alias("value")
     )
     w = out.write.mode(mode)
     if compression:

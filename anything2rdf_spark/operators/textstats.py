@@ -360,7 +360,13 @@ def canonical_url(url) -> Column:
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
     rest = F.regexp_replace(u, r"^[^/?#]+", "")
-    rest = F.regexp_replace(rest, r"(?i)(?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    # tracking params are matched WITH their leading separator (so
+    # 'not_gclid=5' or a path segment containing 'gclid=' is never
+    # clipped); '&'-led occurrences first, then a '?'-led first param
+    # re-attaches the next param to '?' — fixed-string replacements only,
+    # because Java ($1) and RE2 (\\1) disagree on backref syntax
+    rest = F.regexp_replace(rest, r"(?i)&(?:utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"(?i)\?(?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "?")
     rest = F.regexp_replace(rest, r"/+\?", "?")  # '/path/?q' ≡ '/path?q'
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/+$", "")

@@ -226,26 +226,11 @@ def streaming_curate(
     with readStream unchanged), applied BEFORE dedup exactly like batch so
     the stream ≡ batch equivalence holds content-for-content.
     """
-    from ..operators.curation import c4_keep_page, c4_kept_lines
+    from ..operators.curation import apply_html_c4
     from ..operators.dedupe import normalized_text
-    from ..operators.textstats import (
-        html_to_text,
-        lang_id,
-        quality_score,
-        redact_pii,
-        ws_token_count,
-    )
+    from ..operators.textstats import lang_id, quality_score, redact_pii, ws_token_count
 
-    if html:
-        doc_stream = doc_stream.withColumn("text", html_to_text(F.col("text")))
-    if c4_rules:
-        kept = c4_kept_lines(F.col("text"))
-        doc_stream = (
-            doc_stream.withColumn("_kp", c4_keep_page(F.col("text"), kept))
-            .withColumn("text", F.array_join(c4_kept_lines(F.col("text")), "\n"))
-            .filter(F.col("_kp"))
-            .drop("_kp")
-        )
+    doc_stream = apply_html_c4(doc_stream, html=html, c4_rules=c4_rules)
     d = (
         doc_stream.withColumn("_fp", F.sha2(normalized_text("text"), 256))
         .withWatermark("ts", watermark)

@@ -374,6 +374,13 @@ def test_url_duplicates_canonicalization(spark):
         (5, "https://other.org/"),
         (6, "https://other.org"),                      # dup of 5
         (7, "https://example.com/Path?q=2"),           # different query: distinct
+        # tracking-param names as SUBSTRINGS must survive (anchored strip)
+        (8, "https://example.com/p?not_gclid=5"),
+        (9, "https://example.com/p?xgclid=1&q=2"),
+        (10, "https://example.com/buygclid=7/page"),
+        (11, "https://example.com/p?utm_a=1&utm_b=2&q=3"),  # dup of 12
+        (12, "https://example.com/p?q=3"),
+        (13, None),                                    # null url passes through
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r["doc_id"]: (r["canonical_url"], r["canonical_id"], r["is_dup"])
@@ -385,6 +392,12 @@ def test_url_duplicates_canonicalization(spark):
     assert got[5] == ("other.org", 5, False)
     assert got[6] == ("other.org", 5, True)
     assert not got[7][2]
+    assert got[8] == ("example.com/p?not_gclid=5", 8, False)
+    assert got[9] == ("example.com/p?xgclid=1&q=2", 9, False)
+    assert got[10] == ("example.com/buygclid=7/page", 10, False)
+    assert got[11] == ("example.com/p?q=3", 11, False)
+    assert got[12] == ("example.com/p?q=3", 11, True)
+    assert got[13] == (None, 13, False)  # null url: kept, own canonical
 
 
 def test_novel_documents_cross_snapshot(spark):

@@ -248,11 +248,13 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
     from anything2rdf_spark.operators.sinks import write_jsonl
 
     rows = [(1, "plain text", 0.5), (2, 'quotes " and \\ slash', -1.0),
-            (3, "unicode — ”curly” and 中文", 0.0)]
+            (3, "unicode — ”curly” and 中文", 0.0), (4, None, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string, score double")
     p = str(tmp_path / "out.jsonl")
     write_jsonl(df.repartition(2), p)
     back = spark.read.json(p)
+    # null keys are KEPT (ignoreNullFields=false): the all-null row still
+    # carries both columns, so the read-back schema and values round-trip
     assert {tuple(r) for r in back.select("doc_id", "text", "score").collect()} == set(rows)
     # gzip shards read back identically
     pz = str(tmp_path / "out_gz.jsonl")

@@ -864,7 +864,7 @@ def _c4_ref(text, min_words=5, min_kept=3):
     \\s+ word split, terminal-punct class, page rules)."""
     import hashlib
 
-    lines = text.split("\n")
+    lines = re.split(r"\r?\n", text)
 
     def ok(line):
         t = line.strip(" ")
@@ -910,6 +910,11 @@ def test_c4_line_filter_matches_python_reference(spark, docs):
             "“We should begin loading the wagons early tomorrow morning.”\n"
             "The others nodded and went back to their quiet evening work."),
         (9000006, ""),
+        # CRLF page: Java's $ matches before a trailing \r where RE2/Python
+        # does not — the \r?\n line split keeps all three engines agreeing
+        (9000007, "The wagon rolled down the long hill before first light.\r\n"
+                  "Nobody spoke until the river crossing came into view.\r\n"
+                  "They unloaded the crates beside the mill at midday.\r\n"),
     ]
     df = spark.createDataFrame(fixture, "doc_id long, text string").unionByName(
         docs.select("doc_id", "text").limit(40)
@@ -926,6 +931,7 @@ def test_c4_line_filter_matches_python_reference(spark, docs):
     assert got[9000003][2] is False                     # curly brace
     assert got[9000004][2] is False                     # < 3 surviving lines
     assert got[9000005][2] is True                      # curly-quote terminals count
+    assert got[9000007][2] is True and got[9000007][1] == 3  # CRLF lines all keep
 
 
 def test_mixture_weights_matches_python_reference(spark):
