@@ -100,49 +100,78 @@ def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces=No
     dictionary is supplied — mentionsSurface triples from the Arrow-batched
     scan (andcsv2rdf.scala:43-47 analog).
     """
-    t = iri.turn_iri(ns=ns)
-    c = iri.conv_iri(ns=ns)
-    sp = iri.speaker_iri(ns=ns)
-    nonblank = F.trim(F.col("text")) != ""
-    role_iri = iri.mint("role", "role", ns=ns)
-    tool_iri = iri.mint("tool", "tool", ns=ns)
+    # Hoist every subexpression the rules share into ONE projection below
+    # the explode (round-6 optimization; guide §1.2 per-task work).
+    # GenerateExec does no common-subexpression elimination, so the previous
+    # form — IRI columns referenced directly inside the rule array —
+    # re-evaluated url_encode(conv_id) ~12x and the full turn-IRI concat ~8x
+    # per input row inside the generator expression. Hoisted columns are
+    # computed once per row; the rule structs just reference them (Catalyst
+    # has no rule that inlines a Project into a Generate's generator, and
+    # tests/test_plans.py pins the stage shape). Values are unchanged:
+    # the hoisted expressions are the same expressions.
+    t = F.col("_t")
+    c = F.col("_c")
+    sp = F.col("_sp")
+    nonblank = F.col("_nb")
+    role_iri = F.col("_role")
+    tool_iri = F.col("_tool")
+    tool_ok = F.col("_tool_ok")
 
     rules = [
         _t(t, RDF_TYPE, obj_iri=F.lit(C_TURN)),
         _t(t, P_PART_OF, obj_iri=c),
-        _t(t, P_TURN_INDEX, obj_lit=F.col("turn_idx"), dtype=XSD_INTEGER),
+        _t(t, P_TURN_INDEX, obj_lit=F.col("_ti"), dtype=XSD_INTEGER),
         _t(t, P_FULLTEXT, obj_lit=F.col("text"), guard=nonblank),
-        _t(t, P_WORDCOUNT, obj_lit=TX.wordcount("text"), dtype=XSD_INTEGER, guard=nonblank),
+        _t(t, P_WORDCOUNT, obj_lit=F.col("_wc"), dtype=XSD_INTEGER, guard=nonblank),
         _t(t, P_HAS_SPEAKER, obj_iri=sp),
         _t(sp, RDF_TYPE, obj_iri=F.lit(C_SPEAKER)),
         _t(sp, P_ROLE, obj_iri=role_iri),
         _t(role_iri, RDF_TYPE, obj_iri=F.lit(C_ROLE)),
-        _t(t, P_USED_TOOL, obj_iri=tool_iri, guard=F.col("tool").isNotNull() & (F.trim(F.col("tool")) != "")),
+        _t(t, P_USED_TOOL, obj_iri=tool_iri, guard=tool_ok),
         # minted tool entities get typed like every other minted entity
         # (Turn/Conversation/Speaker/Role all do) — same ANE guard
-        _t(tool_iri, RDF_TYPE, obj_iri=F.lit(C_TOOL), guard=F.col("tool").isNotNull() & (F.trim(F.col("tool")) != "")),
+        _t(tool_iri, RDF_TYPE, obj_iri=F.lit(C_TOOL), guard=tool_ok),
         _t(
             t,
             P_AT_TIME,
-            # rendered from the true UTC instant, NOT the session timezone:
-            # date_format alone formats in spark.sql.session.timeZone, so
-            # identical data would emit different (zone-suffix-free)
-            # xsd:dateTime literals across deployments — the same hazard
-            # windows._epoch_seconds guards against. Under a UTC session
-            # (all tests/oracles) this is a no-op.
-            obj_lit=F.date_format(
-                F.to_utc_timestamp(F.col("ts"), F.expr("current_timezone()")),
-                "yyyy-MM-dd'T'HH:mm:ss",
-            ),
+            obj_lit=F.col("_ts_lit"),
             dtype=XSD_DATETIME,
-            guard=F.col("ts").isNotNull(),
+            guard=F.col("_ts_ok"),
         ),
         _t(c, RDF_TYPE, obj_iri=F.lit(C_CONVERSATION)),
     ]
 
     adm = admissible(transcripts)
+    pre = adm.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        iri.turn_iri(ns=ns).alias("_t"),
+        iri.conv_iri(ns=ns).alias("_c"),
+        iri.speaker_iri(ns=ns).alias("_sp"),
+        iri.mint("role", "role", ns=ns).alias("_role"),
+        # mint of a NULL tool is NULL (concat null-propagates) — the _tool_ok
+        # guard decides emission exactly as before
+        iri.mint("tool", "tool", ns=ns).alias("_tool"),
+        (F.trim(F.col("text")) != "").alias("_nb"),
+        (F.col("tool").isNotNull() & (F.trim(F.col("tool")) != "")).alias("_tool_ok"),
+        F.col("turn_idx").cast("string").alias("_ti"),
+        TX.wordcount("text").cast("string").alias("_wc"),
+        # rendered from the true UTC instant, NOT the session timezone:
+        # date_format alone formats in spark.sql.session.timeZone, so
+        # identical data would emit different (zone-suffix-free)
+        # xsd:dateTime literals across deployments — the same hazard
+        # windows._epoch_seconds guards against. Under a UTC session
+        # (all tests/oracles) this is a no-op. date_format(NULL) is NULL.
+        F.date_format(
+            F.to_utc_timestamp(F.col("ts"), F.expr("current_timezone()")),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("_ts_lit"),
+        F.col("ts").isNotNull().alias("_ts_ok"),
+    )
     base = (
-        adm.select(
+        pre.select(
             "conv_id",
             "turn_idx",
             F.explode(F.array(*rules)).alias("r"),
