@@ -310,6 +310,63 @@ def _surfaces_fingerprint(surfaces, engine: str) -> str:
     return h.hexdigest()
 
 
+def _java_quote(s: str) -> str:
+    """Quote a literal for a Java regex via \\Q...\\E (splitting any embedded
+    \\E so it cannot terminate the quote early)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def mention_matches(text, surfaces, engine: str = "auto"):
+    """Array-of-mentions Column for a fixed surface dictionary — the
+    entry point extract_mentions / extract_triples route through.
+
+    Small dictionaries (≤ AC_THRESHOLD distinct surfaces) run FULLY NATIVE
+    (round-6 optimization): one JVM ``regexp_extract_all`` over the lowered
+    text with the same longest-alternative-first literal alternation the
+    'regex' engine compiles, then a literal-map lookup back to canonical
+    dictionary casing — no Python worker, no Arrow boundary, and the scan
+    stays inside the same whole-stage-codegen span as the rest of the
+    extraction (the 'regex'/'aho' pandas UDFs put an ArrowEvalPython node
+    over the full text column). Semantics are pinned identical to the
+    'regex' engine by tests (leftmost, longest-alternative-first,
+    non-overlapping, word-boundary): the alternation is ordered by
+    (-len, s) exactly as the UDF engines order it, ``(?U)`` makes Java's
+    ``\\b`` Unicode-aware like Python ``re``'s, alternatives are
+    ``\\Q``-quoted literals so the matched substring always equals one
+    alternative verbatim, and the canon map is built with the same
+    last-writer-wins rule over the same surface ordering. Large
+    dictionaries keep the Aho-Corasick Arrow path (a 10⁵-alternative regex
+    is quadratic; the automaton is not).
+    """
+    t = _c(text)
+    surfs_local = surfaces.value if hasattr(surfaces, "value") else surfaces
+    eng = engine
+    if eng == "auto":
+        eng = "native" if len(set(surfs_local)) <= AC_THRESHOLD else "aho"
+    if eng != "native":
+        return mention_scan_udf(surfaces, engine=eng)(t)
+    ordered = sorted(set(surfs_local), key=lambda s: (-len(s), s))
+    if not ordered:
+        return F.array().cast("array<string>")
+    canon = {s.lower(): s for s in ordered}
+    lowered = sorted({s.lower() for s in ordered}, key=lambda s: (-len(s), s))
+    pattern = "(?U)\\b(" + "|".join(_java_quote(s) for s in lowered) + ")\\b"
+    canon_args: list[Column] = []
+    for k in sorted(canon):
+        canon_args.append(F.lit(k))
+        canon_args.append(F.lit(canon[k]))
+    canon_map = F.create_map(*canon_args)
+    matches = F.regexp_extract_all(F.lower(t), F.lit(pattern), 1)
+    # every match equals one lowered alternative verbatim (literal
+    # alternation), so the lookup always hits; try_element_at only for
+    # ANSI-mode safety. NULL text lowers to NULL -> NULL matches -> [] ,
+    # the same [] the UDF engines' fillna('') produces.
+    return F.coalesce(
+        F.transform(matches, lambda m: F.try_element_at(canon_map, m)),
+        F.array().cast("array<string>"),
+    )
+
+
 def mention_scan_udf(surfaces, engine: str = "auto"):
     """Build an Arrow-vectorized mention scanner for a fixed surface-form
     dictionary (the engine's turn-level extractor, SURVEY §2.12 ext-point 1;

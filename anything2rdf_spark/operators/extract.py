@@ -183,9 +183,12 @@ def extract_triples(transcripts: DataFrame, ns: str = NS, dictionary_surfaces=No
 
     # truthiness: an empty surface list skips the scan; a Broadcast is truthy
     if dictionary_surfaces:
-        scan = TX.mention_scan_udf(dictionary_surfaces)
         mention_triples = (
-            adm.select("conv_id", "turn_idx", F.explode(scan(F.col("text"))).alias("surface"))
+            adm.select(
+                "conv_id",
+                "turn_idx",
+                F.explode(TX.mention_matches(F.col("text"), dictionary_surfaces)).alias("surface"),
+            )
             .select(
                 iri.turn_iri(ns=ns).alias("subj"),
                 F.lit(P_MENTIONS_SURFACE).alias("pred"),
@@ -205,17 +208,31 @@ def extract_mentions(transcripts: DataFrame, dictionary_surfaces) -> DataFrame:
     """Transcripts → mention rows (conv_id, turn_idx, surface, norm_surface)
     for the linking stage — the turn-level extractor extension point
     (SURVEY §2.12). ``dictionary_surfaces``: list[str] or a Broadcast of one
-    (see functions.text.mention_scan_udf)."""
-    scan = TX.mention_scan_udf(dictionary_surfaces)
-    return (
-        admissible(transcripts)
-        .select("conv_id", "turn_idx", F.explode(scan(F.col("text"))).alias("surface"))
-        .select(
-            "conv_id",
-            "turn_idx",
-            "surface",
-            TX.norm_surface("surface").alias("norm_surface"),
-        )
+    (see functions.text.mention_scan_udf).
+
+    norm_surface is computed once per DISTINCT dictionary surface and
+    broadcast-joined back (round-6 optimization): every matched surface IS a
+    dictionary entry (the scanners emit canonical dictionary casing), so
+    running :func:`~anything2rdf_spark.functions.text.norm_surface` — whose
+    NFC step is an Arrow-batched Python UDF — per mention row put a second
+    ArrowEvalPython pass over the (much larger) mention relation for values
+    already determined by the dictionary. The tiny surface→norm table uses
+    the SAME column expression, so values are identical by construction
+    (test-pinned); the join is a broadcast hash join in the same codegen
+    stage, and the surface list is driver-resident either way."""
+    mentions = admissible(transcripts).select(
+        "conv_id",
+        "turn_idx",
+        F.explode(TX.mention_matches(F.col("text"), dictionary_surfaces)).alias("surface"),
+    )
+    surfs = dictionary_surfaces.value if hasattr(dictionary_surfaces, "value") else dictionary_surfaces
+    spark = transcripts.sparkSession
+    norm_df = (
+        spark.createDataFrame([(s,) for s in sorted(set(surfs))], "surface string")
+        .select("surface", TX.norm_surface("surface").alias("norm_surface"))
+    )
+    return mentions.join(F.broadcast(norm_df), "surface").select(
+        "conv_id", "turn_idx", "surface", "norm_surface"
     )
 
 
@@ -275,6 +292,12 @@ def extract_mentions_join(
         # the scan engines' canon-casing map, made order-independent)
         .groupBy("_skey", "_tok", "_ntok")
         .agg(F.min("_surface").alias("_surface"))
+        # norm once per distinct surface (dictionary-sized relation) instead
+        # of per selected mention: norm_surface's NFC step is a Python UDF,
+        # and the dictionary side is orders of magnitude smaller than the
+        # mention relation at scale — the value rides the candidate join and
+        # the selection fold (round-6; same expression, identical values)
+        .withColumn("_norm", _TX.norm_surface("_surface"))
     )
     turns = admissible(transcripts).select(
         "conv_id", "turn_idx", _word_tokens("text").alias("_toks")
@@ -286,11 +309,14 @@ def extract_mentions_join(
             F.array_join(F.slice("_toks", F.col("_p") + 1, F.col("_ntok")), " ")
             == F.col("_skey")
         )
-        .select("conv_id", "turn_idx", "_p", "_ntok", "_surface")
+        .select("conv_id", "turn_idx", "_p", "_ntok", "_surface", "_norm")
     )
     picked = (
         cand.groupBy("conv_id", "turn_idx")
         .agg(
+            # _norm is LAST in the sort struct: rows tying on (p, neglen, n,
+            # s) are the same surface, hence the same norm — sort order (and
+            # therefore the greedy selection) is unchanged from round 5
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -298,6 +324,7 @@ def extract_mentions_join(
                         (-F.col("_ntok")).alias("neglen"),
                         F.col("_ntok").alias("n"),
                         F.col("_surface").alias("s"),
+                        F.col("_norm").alias("norm"),
                     )
                 )
             ).alias("_ms")
@@ -309,25 +336,27 @@ def extract_mentions_join(
                 "_ms",
                 F.struct(
                     F.lit(0).alias("cur"),
-                    F.array().cast("array<string>").alias("acc"),
+                    F.array().cast("array<struct<s:string,norm:string>>").alias("acc"),
                 ),
                 lambda st, m: F.when(
                     m["p"] >= st["cur"],
                     F.struct(
                         (m["p"] + m["n"]).alias("cur"),
-                        F.array_append(st["acc"], m["s"]).alias("acc"),
+                        F.array_append(
+                            st["acc"], F.struct(m["s"].alias("s"), m["norm"].alias("norm"))
+                        ).alias("acc"),
                     ),
                 ).otherwise(st),
             )["acc"].alias("_sel"),
         )
     )
     return picked.select(
-        "conv_id", "turn_idx", F.explode("_sel").alias("surface")
+        "conv_id", "turn_idx", F.explode("_sel").alias("m")
     ).select(
         "conv_id",
         "turn_idx",
-        "surface",
-        _TX.norm_surface("surface").alias("norm_surface"),
+        F.col("m.s").alias("surface"),
+        F.col("m.norm").alias("norm_surface"),
     )
 
 
