@@ -170,9 +170,17 @@ class Pipeline:
                     ["triples_candidate", "mentions"], metrics)
 
         # ---- stage 3: link ------------------------------------------------
+        link_persisted: list = []
+
         def link():
             mentions = cat.read("mentions")
-            linked = LK.link_mentions(mentions, dictionary, ns=self.ns)
+            # linked feeds THREE stage outputs; each checkpoint write is its
+            # own job, so without a persist the mention scan + dictionary
+            # join ran three times (guide §5: persist when reused and
+            # recomputation is a full pass). Mention-scale, spills to disk;
+            # released right after the stage's writes.
+            linked = LK.link_mentions(mentions, dictionary, ns=self.ns).persist()
+            link_persisted.append(linked)
             return {
                 "mentions_linked": linked,
                 "triples_mentions": LK.mention_triples(linked, ns=self.ns),
@@ -180,10 +188,14 @@ class Pipeline:
                 "entities_new": LK.new_entities(linked),
             }
 
-        self._stage(run_id, "link", fingerprint, force, link,
-                    ["mentions_linked", "triples_mentions", "triples_dictionary", "entities_new"],
-                    metrics,
-                    bucket_cols={"triples_dictionary": None, "entities_new": None})
+        try:
+            self._stage(run_id, "link", fingerprint, force, link,
+                        ["mentions_linked", "triples_mentions", "triples_dictionary", "entities_new"],
+                        metrics,
+                        bucket_cols={"triples_dictionary": None, "entities_new": None})
+        finally:
+            for df in link_persisted:
+                df.unpersist()
 
         # ---- stage 4: canonicalize ----------------------------------------
         def canonicalize():
@@ -211,11 +223,13 @@ class Pipeline:
             for p in parts[1:]:
                 data_triples = data_triples.unionByName(p)
             cm = cat.read("canonical_map")
-            # one count on the (entity-scale, already-materialized) map
+            # the (entity-scale, already-materialized) map's row count
             # decides the rewrite join strategy: broadcast while it fits,
             # shuffle join once it doesn't (judge r2 "what's wrong" #1 —
-            # an unconditional broadcast dies at 10^12-turn entity counts)
-            n_map = cm.count()
+            # an unconditional broadcast dies at 10^12-turn entity counts).
+            # Read from parquet footers (metadata-only, no Spark job) —
+            # df.count() here was a full extra pass over the map per run.
+            n_map = cat.row_count("canonical_map")
             if n_map > 0:
                 # rewrite data triples to canonical IRIs (G2); the sameAs
                 # links themselves are exempt — rewriting them would

@@ -141,6 +141,13 @@ class Catalog:
                 counts[0] = n
         return counts
 
+    def row_count(self, table: str) -> int:
+        """Total row count from parquet footer metadata — O(files), no Spark
+        job, no data scan (the Iceberg manifest row-count lookup). Use for
+        size-policy decisions (e.g. broadcast-vs-shuffle) on checkpointed
+        tables instead of df.count(), which is a full pass at 100 TB."""
+        return sum(self._partition_counts_from_footers(table).values())
+
     def read(self, table: str) -> DataFrame:
         from pyspark.sql import types as T
 
