@@ -14,7 +14,7 @@ document to one 64-bit key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -132,31 +132,50 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def shingles(col, n: int = 5):
-    """Word n-gram shingle array (distinct) from text — native exprs."""
+    """Word n-gram shingle array (distinct) from text — native exprs.
+    The normalized text and its token split are let-bound (round-6) so each
+    is evaluated once, not once per reference."""
+    from .textstats import _let
+
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(normalized_text(c), " ")
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array(normalized_text(c))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
+
+    def _from_norm(nt: Column) -> Column:
+        def _from_toks(toks: Column) -> Column:
+            k = F.size(toks) - (n - 1)
+            return F.when(k <= 0, F.array(nt)).otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), k),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "),
+                    )
+                )
             )
-        )
-    )
+
+        return _let(F.split(nt, " "), _from_toks)
+
+    return _let(normalized_text(c), _from_norm)
 
 
 def minhash_signature(shingle_col, num_hashes: int = 32, hash_mode: str = "xxhash64"):
     """MinHash signature: sig[i] = min over shingles of hash64(s, seed=i).
-    Returns array<bigint> of length num_hashes; empty shingle set → nulls."""
+    Returns array<bigint> of length num_hashes; empty shingle set → nulls.
+
+    The shingle array is let-bound (round-6): the previous form inlined the
+    whole shingle construction (normalize + split + n-gram transform +
+    distinct) once PER HASH — num_hashes full recomputations per row."""
+    from .textstats import _let
+
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
-    def one(seed: int):
-        # closure, NOT a default lambda arg: pyspark binds extra lambda
-        # params to the array-index variable, silently breaking the seed
-        return F.array_min(F.transform(sh, lambda s: hash64(s, seed, hash_mode)))
+    def _sig(arr: Column) -> Column:
+        def one(seed: int):
+            # closure, NOT a default lambda arg: pyspark binds extra lambda
+            # params to the array-index variable, silently breaking the seed
+            return F.array_min(F.transform(arr, lambda s: hash64(s, seed, hash_mode)))
 
-    return F.array(*[one(i) for i in range(num_hashes)])
+        return F.array(*[one(i) for i in range(num_hashes)])
+
+    return _let(sh, _sig)
 
 
 def minhash_lsh_candidates(
@@ -287,24 +306,49 @@ def simhash64(text_col, token_regex: str = r"\s+", hash_mode: str = "xxhash64"):
     """64-bit SimHash of a text column, all-native: per-token 64-bit hash,
     each bit votes ±1, signature bit = majority sign. Returns bigint.
     ``hash_mode='md5_60'`` gives an engine-portable 60-bit variant (bits
-    60-63 always 0) for oracle-checked runs."""
+    60-63 always 0) for oracle-checked runs.
+
+    Single-pass shape (round-6 optimization; values unchanged, pinned by
+    the dedup_simhash oracle and a old-vs-new pytest): the previous form
+    ran SIXTY-FOUR separate folds — one per bit — each re-inlining the
+    tokenize+hash subtree (no common-subexpression elimination inside one
+    projection's expression tree). Now one fold carries a 64-wide vote
+    array, and the signature is assembled from the let-bound vote array."""
+    from .textstats import _let
+
+    masks = [1 << b if b < 63 else -(2**63) for b in range(64)]
     toks = F.filter(F.split(normalized_text(text_col), token_regex), lambda t: t != "")
     hashes = F.transform(toks, lambda t: hash64(t, 0, hash_mode))
+    zeros = F.array(*[F.lit(0).cast("long")] * 64)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        # h is a lambda variable — already a bound value, so the 64
+        # bit-tests below read it without recomputation
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1).cast("long")).otherwise(
+                        F.lit(-1).cast("long")
+                    )
+                    for m in masks
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
 
-    def vote(b: int):
-        mask = 1 << b if b < 63 else -(2**63)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
+    def _assemble(v: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(64):
+            bitval = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
+            sig = sig + F.when(F.element_at(v, b + 1) > 0, bitval).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sig
 
-    bit_votes = [vote(b) for b in range(64)]
-    sig = F.lit(0).cast("long")
-    for b, v in enumerate(bit_votes):
-        bitval = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
-        sig = sig + F.when(v > 0, bitval).otherwise(F.lit(0).cast("long"))
-    return sig
+    return _let(votes, _assemble)
 
 
 def _block_bounds(blocks: int) -> list[int]:

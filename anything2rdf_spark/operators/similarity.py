@@ -101,18 +101,25 @@ def lsh_signature_grid(vec_col, dim: int, n_planes: int = 8, scale: int = 1000):
     the vector is quantized to ``round(x*scale)`` longs, each plane dot
     product is an integer fold (order-independent), sign → bit. Bit-for-bit
     reproducible in any engine."""
+    from .textstats import _let
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    q = F.transform(v, lambda x: F.round(x * scale, 0).cast("long"))
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(grid_planes(dim, n_planes)):
-        warr = F.array(*[F.lit(w).cast("long") for w in plane])
-        dot = F.aggregate(
-            F.zip_with(q, warr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, z: acc + z,
-        )
-        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0).cast("long"))
-    return sig
+
+    # quantized vector let-bound once (round-6): the flat form re-ran the
+    # quantization transform once per plane
+    def _sig(q):
+        sig = F.lit(0).cast("long")
+        for j, plane in enumerate(grid_planes(dim, n_planes)):
+            warr = F.array(*[F.lit(w).cast("long") for w in plane])
+            dot = F.aggregate(
+                F.zip_with(q, warr, lambda x, w: x * w),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            )
+            sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return _let(F.transform(v, lambda x: F.round(x * scale, 0).cast("long")), _sig)
 
 
 def lsh_signature(vec_col, planes: list[list[float]]):
@@ -342,19 +349,25 @@ def _centroid_scores_int(vec_col, centroids: list[list[int]], scale: int):
     |qv| factor, so argmin(negscore) is the nearest centroid. dot and |c|²
     are exact integers (< 2^53), the division/sqrt are identical IEEE ops in
     any engine → assignments are bit-for-bit reproducible."""
-    qv = quantize_vec(vec_col, scale)
-    entries = []
-    for j, c in enumerate(centroids):
-        warr = F.array(*[F.lit(int(x)).cast("long") for x in c])
-        dot = F.aggregate(
-            F.zip_with(qv, warr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, z: acc + z,
-        )
-        normsq = sum(int(x) * int(x) for x in c) or 1
-        score = dot.cast("double") / F.sqrt(F.lit(float(normsq)))
-        entries.append(F.struct((-score).alias("negscore"), F.lit(j).alias("j")))
-    return F.array(*entries)
+    from .textstats import _let
+
+    # quantized vector let-bound once (round-6): the flat form re-ran the
+    # quantization transform once per centroid
+    def _scores(qv):
+        entries = []
+        for j, c in enumerate(centroids):
+            warr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            dot = F.aggregate(
+                F.zip_with(qv, warr, lambda x, w: x * w),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            )
+            normsq = sum(int(x) * int(x) for x in c) or 1
+            score = dot.cast("double") / F.sqrt(F.lit(float(normsq)))
+            entries.append(F.struct((-score).alias("negscore"), F.lit(j).alias("j")))
+        return F.array(*entries)
+
+    return _let(quantize_vec(vec_col, scale), _scores)
 
 
 def _centroid_scores(vec_col, centroids: list[list[float]]):
@@ -635,21 +648,36 @@ def pq_train(
 def _pq_codes_expr(codebooks, vec_col, quantize_scale: int):
     """array<int> of per-subspace argmin codes — the one encoding
     expression shared by pq_encode, pq_adc_topk, and ivfpq_topk."""
+    from .textstats import _let
+
     m, dsub = len(codebooks), len(codebooks[0][0])
-    qv = quantize_vec(vec_col, quantize_scale)
-    return F.array(
-        *[
-            _pq_best_code(F.slice(qv, s * dsub + 1, dsub), codebooks[s])
-            for s in range(m)
-        ]
+    # the quantized vector AND each subvector slice are let-bound (round-6):
+    # the flat form re-ran the quantization transform m*ksub times (once per
+    # codeword distance) because _pq_best_code references its subvector once
+    # per codeword
+    def _sub_code(qv, s: int):
+        # closure over s, NOT a lambda default arg: pyspark binds extra
+        # lambda params to the array-index variable (repo gotcha, see
+        # minhash_signature)
+        return _let(
+            F.slice(qv, s * dsub + 1, dsub), lambda sv: _pq_best_code(sv, codebooks[s])
+        )
+
+    return _let(
+        quantize_vec(vec_col, quantize_scale),
+        lambda qv: F.array(*[_sub_code(qv, s) for s in range(m)]),
     )
 
 
 def _pq_qsubs_expr(codebooks, vec_col, quantize_scale: int):
     """array<array<long>> of the query's quantized subvectors."""
+    from .textstats import _let
+
     m, dsub = len(codebooks), len(codebooks[0][0])
-    qv = quantize_vec(vec_col, quantize_scale)
-    return F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)])
+    return _let(
+        quantize_vec(vec_col, quantize_scale),
+        lambda qv: F.array(*[F.slice(qv, s * dsub + 1, dsub) for s in range(m)]),
+    )
 
 
 def _pq_codebook_lit(codebooks):

@@ -310,15 +310,15 @@ def dup_ngram_fraction(text, n: int = 3) -> Column:
 
     Documents with fewer than ``n`` tokens score 0.0 (nothing to repeat).
     """
-    toks = _ws_tokens(text)
-    n_ng = F.size(toks) - (n - 1)
-    ngrams = word_ngram_array(toks, n)
-    distinct = F.size(F.array_distinct(ngrams))
-    return (
-        F.when(n_ng >= 1, (n_ng - distinct) / n_ng.cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("dup_ngram_fraction")
-    )
+    # token array and n-gram array let-bound once (round-6; see _let)
+    def _frac(toks: Column) -> Column:
+        n_ng = F.size(toks) - (n - 1)
+        distinct = F.size(F.array_distinct(word_ngram_array(toks, n)))
+        return F.when(n_ng >= 1, (n_ng - distinct) / n_ng.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return _let(_ws_tokens(text), _frac).alias("dup_ngram_fraction")
 
 
 def corpus_top_ngrams(docs, text_col: str = "text", by: str = "source",
@@ -559,38 +559,45 @@ def gopher_flags(text) -> Column:
       pass              conjunction of all of the above
     """
     t = _c(text)
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
-    n_words = F.size(words)
-    n_chars = F.length(F.regexp_replace(t, r"\s+", ""))
-    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
-    n_lines = F.size(lines)
-    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("double")
-    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])")))
-    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(F.transform(words, F.lower)),
-            F.array(*[F.lit(w) for w in GOPHER_STOP]),
+    # let-bind the word and line arrays once (round-6; see _let): the flat
+    # form re-inlined the split+filter per flag that referenced them
+    arrays = F.struct(
+        F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "").alias("w"),
+        F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "").alias("l"),
+    )
+
+    def _flags(s: Column) -> Column:
+        words, lines = s["w"], s["l"]
+        n_words = F.size(words)
+        n_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+        n_lines = F.size(lines)
+        n_sym = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("double")
+        n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])")))
+        n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+        n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+        n_stop = F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(words, F.lower)),
+                F.array(*[F.lit(w) for w in GOPHER_STOP]),
+            )
         )
-    )
-    nz_words = F.greatest(n_words, F.lit(1)).cast("double")
-    nz_lines = F.greatest(n_lines, F.lit(1)).cast("double")
-    flags = {
-        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
-        "mean_word_len_ok": (n_chars / nz_words >= 3) & (n_chars / nz_words <= 10),
-        "symbol_ratio_ok": n_sym / nz_words < 0.1,
-        "bullet_lines_ok": n_bullet / nz_lines < 0.9,
-        "ellipsis_lines_ok": n_ellipsis / nz_lines < 0.3,
-        "alpha_word_ok": n_alpha / nz_words >= 0.8,
-        "stopword_ok": n_stop >= 2,
-    }
-    all_ok = None
-    for c in flags.values():
-        all_ok = c if all_ok is None else (all_ok & c)
-    return F.struct(
-        *[c.alias(k) for k, c in flags.items()], all_ok.alias("pass")
-    )
+        nz_words = F.greatest(n_words, F.lit(1)).cast("double")
+        nz_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+        flags = {
+            "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+            "mean_word_len_ok": (n_chars / nz_words >= 3) & (n_chars / nz_words <= 10),
+            "symbol_ratio_ok": n_sym / nz_words < 0.1,
+            "bullet_lines_ok": n_bullet / nz_lines < 0.9,
+            "ellipsis_lines_ok": n_ellipsis / nz_lines < 0.3,
+            "alpha_word_ok": n_alpha / nz_words >= 0.8,
+            "stopword_ok": n_stop >= 2,
+        }
+        all_ok = None
+        for c in flags.values():
+            all_ok = c if all_ok is None else (all_ok & c)
+        return F.struct(*[c.alias(k) for k, c in flags.items()], all_ok.alias("pass"))
+
+    return _let(arrays, _flags)
 
 
 def _top_sorted_run(sorted_arr):
@@ -648,23 +655,6 @@ def gopher_repetition_flags(text) -> Column:
     (:func:`_top_sorted_run`), not a groupBy."""
     t = _c(text)
 
-    def _dup(parts):
-        cleaned = F.filter(F.transform(parts, F.trim), lambda x: x != "")
-        n = F.size(cleaned)
-        nd = F.size(F.array_distinct(cleaned))
-        chars = F.aggregate(
-            F.transform(cleaned, F.length), F.lit(0).cast("long"), lambda a, x: a + x
-        )
-        dchars = F.aggregate(
-            F.transform(F.array_distinct(cleaned), F.length),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        return n, nd, chars, dchars
-
-    lines_n, lines_nd, lines_c, lines_dc = _dup(F.split(t, r"\n"))
-    paras_n, paras_nd, paras_c, paras_dc = _dup(F.split(t, r"\n{2,}"))
-
     def _ppm(a, b):
         # floor(1e6·a / max(b,1)) as ONE double divide + floor, mirrored
         # verbatim in the oracle. Exact-portable here: 1e6·a < 2^53 is an
@@ -676,25 +666,68 @@ def gopher_repetition_flags(text) -> Column:
             / F.greatest(b, F.lit(1)).cast("double")
         ).cast("long")
 
-    toks = _ws_tokens(F.lower(t))
-    denom = F.length(F.array_join(toks, " "))
+    def _dup_stats(parts):
+        # let-bind the cleaned and distinct arrays (round-6): the flat form
+        # recomputed the trim+filter chain once per statistic it fed
+        def _stats(cleaned: Column) -> Column:
+            def _with_distinct(dis: Column) -> Column:
+                return F.struct(
+                    F.size(cleaned).alias("n"),
+                    F.size(dis).alias("nd"),
+                    F.aggregate(
+                        F.transform(cleaned, F.length),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    ).alias("chars"),
+                    F.aggregate(
+                        F.transform(dis, F.length),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    ).alias("dchars"),
+                )
 
-    def _top_ppm(n):
-        top = _top_sorted_run(F.array_sort(word_ngram_array(toks, n)))
-        covered = top["best"] * F.coalesce(F.length(top["best_v"]), F.lit(0))
-        return _ppm(covered, denom)
+            return _let(F.array_distinct(cleaned), _with_distinct)
 
-    return F.struct(
-        lines_n.alias("n_lines"),
-        _ppm(lines_n - lines_nd, lines_n).alias("dup_line_ppm"),
-        _ppm(lines_c - lines_dc, lines_c).alias("dup_line_char_ppm"),
-        paras_n.alias("n_paras"),
-        _ppm(paras_n - paras_nd, paras_n).alias("dup_para_ppm"),
-        _ppm(paras_c - paras_dc, paras_c).alias("dup_para_char_ppm"),
-        _top_ppm(2).alias("top2_ppm"),
-        _top_ppm(3).alias("top3_ppm"),
-        _top_ppm(4).alias("top4_ppm"),
+        return _let(F.filter(F.transform(parts, F.trim), lambda x: x != ""), _stats)
+
+    # bind every shared intermediate ONCE: the line stats struct, the para
+    # stats struct, and the token array (the flat round-5 form re-inlined
+    # the token split into each top-n-gram computation and the dup splits
+    # into each of their four statistics); the final struct is assembled
+    # INSIDE the lambda so field accesses read the bound structs.
+    bound = F.struct(
+        _dup_stats(F.split(t, r"\n")).alias("ln"),
+        _dup_stats(F.split(t, r"\n{2,}")).alias("pa"),
+        _ws_tokens(F.lower(t)).alias("toks"),
     )
+
+    def _assemble(s: Column) -> Column:
+        ln, pa, toks = s["ln"], s["pa"], s["toks"]
+        denom = F.length(F.array_join(toks, " "))
+
+        def _top_ppm(n):
+            # the sort+longest-run fold is let-bound too: reading both its
+            # fields would otherwise run the whole fold twice
+            return _let(
+                _top_sorted_run(F.array_sort(word_ngram_array(toks, n))),
+                lambda top: _ppm(
+                    top["best"] * F.coalesce(F.length(top["best_v"]), F.lit(0)), denom
+                ),
+            )
+
+        return F.struct(
+            ln["n"].alias("n_lines"),
+            _ppm(ln["n"] - ln["nd"], ln["n"]).alias("dup_line_ppm"),
+            _ppm(ln["chars"] - ln["dchars"], ln["chars"]).alias("dup_line_char_ppm"),
+            pa["n"].alias("n_paras"),
+            _ppm(pa["n"] - pa["nd"], pa["n"]).alias("dup_para_ppm"),
+            _ppm(pa["chars"] - pa["dchars"], pa["chars"]).alias("dup_para_char_ppm"),
+            _top_ppm(2).alias("top2_ppm"),
+            _top_ppm(3).alias("top3_ppm"),
+            _top_ppm(4).alias("top4_ppm"),
+        )
+
+    return _let(bound, _assemble)
 
 
 def char_trigrams(text) -> Column:
