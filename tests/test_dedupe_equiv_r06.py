@@ -100,3 +100,33 @@ def test_minhash_and_shingles_match_r5(docs, mode):
     for r in rows:
         assert r.sh_new == r.sh_old, f"shingle drift on {r.text!r}"
         assert r.sig_new == r.sig_old, f"minhash drift on {r.text!r}"
+
+
+def test_dsir_resample_threshold_prefilter_equals_direct(spark):
+    """Round-6 large-k path: the approxQuantile prefilter must select the
+    EXACT same set as the direct ORDER BY ... LIMIT k, and the optimized
+    plan must carry the key_micro range filter."""
+    from pyspark.sql import functions as F
+
+    from anything2rdf_spark.operators.curation import dsir_resample
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma "),
+            F.when(F.pmod("id", 7) == 0, F.lit("target target target ")).otherwise(F.lit("")),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    kw = dict(target_mod=9, hash_mode="md5_60")
+    direct = dsir_resample(docs, 40, threshold_prefilter=False, **kw)
+    pre = dsir_resample(docs, 40, threshold_prefilter=True, **kw)
+    want = sorted((r.doc_id, r.key_micro) for r in direct.collect())
+    got = sorted((r.doc_id, r.key_micro) for r in pre.collect())
+    assert got == want and len(got) == 40
+    plan = pre._jdf.queryExecution().optimizedPlan().toString()
+    assert "key_micro" in plan and ">=" in plan  # prefilter survived planning
+
+    # degenerate: k >= n falls back to the direct path and returns all rows
+    allrows = dsir_resample(docs, 1000, threshold_prefilter=True, **kw)
+    assert allrows.count() == 500
