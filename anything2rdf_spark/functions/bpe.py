@@ -237,7 +237,13 @@ def bpe_token_count(text, merges: list[tuple[str, str]] | None = None) -> Column
     """Arrow-batched real-BPE token count column. The merges table rides the
     closure (a few KB broadcast with the task), encodings are memoized
     per-word within each executor batch — Zipfian word reuse makes the memo
-    hit rate high, so the per-row cost approaches one dict lookup per word."""
+    hit rate high, so the per-row cost approaches one dict lookup per word.
+
+    Returns int32: the count is bounded by the document's character length,
+    so overflow needs a single >2^31-char document — far beyond any real
+    per-document bound (and the 2 GiB Arrow string-cell cap upstream).
+    Documented here per r5 ADVICE rather than widened: matching ws_tokens'
+    int keeps the curate_corpus schema stable."""
     from pyspark.sql import functions as F
 
     ranks = {p: i for i, p in enumerate(merges if merges is not None else default_merges())}

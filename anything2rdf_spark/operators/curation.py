@@ -170,9 +170,13 @@ def pack_token_stream(
     raise it with the cluster); the chunking is posexplode → one
     partial-aggregated groupBy (bucket, seq_idx) — uniform keys sized by
     ``seq_len``, AQE-splittable, no global order anywhere. Duplicate
-    doc_ids tie-break by token count exactly like pack_documents (tying
-    rows are interchangeable, so the output multiset is deterministic);
-    the in-sequence sort key is (gpos, tok), unique for distinct ids.
+    doc_ids tie-break by token count exactly like pack_documents; note the
+    determinism caveat (r5 ADVICE): two rows sharing BOTH doc_id and token
+    count but with different text get arbitrary relative offsets, so
+    ``toks_md5`` is only deterministic when doc_id is unique (or duplicate
+    ids never tie on token count with distinct text) — the id-uniqueness
+    contract every caller in this repo satisfies. The in-sequence sort key
+    is (gpos, tok), unique for distinct ids.
     """
     if tokenizer == "ws":
         from .textstats import _ws_tokens
@@ -807,7 +811,10 @@ def domain_block_verdicts(
     ``blocked`` is true iff the text mentions at least one URL whose domain
     — or any parent domain with ≥ 2 labels — appears in the blocklist, so
     an entry ``bad.example`` also blocks ``cdn.bad.example``. Bare TLDs
-    never match. ``docs.join(v, id_col).filter("NOT blocked")`` is the
+    never match a multi-label domain's suffix set; a WHOLE single-label
+    domain (``http://localhost/``) still matches a single-label blocklist
+    entry exactly (the guard emits the 1-label suffix for 1-label domains
+    — r5 ADVICE doc drift, behavior unchanged and oracle-mirrored). ``docs.join(v, id_col).filter("NOT blocked")`` is the
     filtered corpus. ``blocked_domains`` is a DataFrame with ``domain_col``
     (or a plain list of strings).
 

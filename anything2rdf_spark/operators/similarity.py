@@ -319,7 +319,14 @@ def release_persisted(df: DataFrame) -> DataFrame:
     ``embedding_neardup_pairs`` persists when ``max_bucket`` is set). Call
     AFTER the result has been materialized (collected / written) — earlier
     and the cache is simply rebuilt on next use. No-op for DataFrames
-    without attached deps; returns ``df`` for chaining."""
+    without attached deps; returns ``df`` for chaining.
+
+    MUST be called on the EXACT DataFrame object the operator returned,
+    BEFORE any further transformation: ``_persisted_deps`` is a Python
+    attribute, and every filter/select/join returns a NEW DataFrame without
+    it, silently leaking the persisted table for the session lifetime
+    (r5 ADVICE). Pattern: keep a handle to the raw result, chain off a
+    separate variable, release the handle when done."""
     for dep in getattr(df, "_persisted_deps", []):
         dep.unpersist()
     return df
