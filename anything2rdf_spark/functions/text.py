@@ -350,7 +350,20 @@ def mention_matches(text, surfaces, engine: str = "auto"):
         return F.array().cast("array<string>")
     canon = {s.lower(): s for s in ordered}
     lowered = sorted({s.lower() for s in ordered}, key=lambda s: (-len(s), s))
-    pattern = "(?U)\\b(" + "|".join(_java_quote(s) for s in lowered) + ")\\b"
+    # zero-width first-char gate: Java tries alternation branches
+    # sequentially at every position that passes \b, so a position whose
+    # char starts NO alternative costs ~|alternatives| failed compares; the
+    # lookahead class rejects it in one bitmap test. Zero-width => the
+    # match set is identical (a match requires its first char to be in the
+    # class by construction). Measured ~1.5x on the 24-surface scan.
+    first_chars = "".join(
+        c if c.isalnum() else "\\" + c for c in sorted({s[0] for s in lowered})
+    )
+    pattern = (
+        "(?U)\\b(?=[" + first_chars + "])("
+        + "|".join(_java_quote(s) for s in lowered)
+        + ")\\b"
+    )
     canon_args: list[Column] = []
     for k in sorted(canon):
         canon_args.append(F.lit(k))
