@@ -7,11 +7,11 @@ partitioned parquet directories with the same layout and falls back
 transparently — the pipeline code is identical either way.
 
 Vendoring attempts (blocked by environment, re-checked every round —
-r5 re-verified 2026-08-17: ``find / -iname '*iceberg*'`` still finds only
-the empty download scratch dir, ``import pyiceberg`` still fails, and the
-configured pip index now answers but serves NO pyiceberg distribution —
-``pip download pyiceberg`` → "Could not find a version that satisfies the
-requirement pyiceberg (from versions: none)"):
+r6 re-verified 2026-08-22: ``find / -iname '*iceberg*'`` finds nothing,
+``import pyiceberg`` still fails, and the configured pip index still
+serves NO pyiceberg distribution — ``pip download pyiceberg`` → "Could
+not find a version that satisfies the requirement pyiceberg (from
+versions: none)". Unchanged from the r5 check of 2026-08-17):
 * no ``iceberg-spark-runtime`` jar anywhere on disk
   (``find / -iname '*iceberg*'`` → empty; ``$SPARK_HOME/jars`` has none);
 * no ``pyiceberg`` package installed;
